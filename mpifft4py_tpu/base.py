@@ -1,0 +1,147 @@
+"""Shared machinery for the distributed transform classes (L3 tier).
+
+Reference analog: the common shape/option bookkeeping spread across
+``mpiFFT4py/{slab,pencil,line}.py`` (mount empty at build time; parity target
+SURVEY.md §1, §3).  The TPU-native redesign:
+
+* a "decomposition" is a ``jax.sharding.NamedSharding`` over a device Mesh, not
+  index bookkeeping — local-shape helpers survive as thin derived quantities;
+* transforms are pure jitted functions built with ``jax.shard_map``; local FFT
+  stages run per-shard, global transposes are ``lax.all_to_all`` on named mesh
+  axes riding ICI;
+* FFTW "plans" become jit-compiled executables cached per (direction, dealias)
+  key in ``self._plans`` — first call compiles, later calls are cache hits.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mpibase import DTypePolicy, resolve_precision, work_arrays
+from .parallel.mesh import mesh_size
+from .utils.transfer import device_put as _device_put, to_numpy
+
+try:  # JAX >= 0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def local_wavenumber_full(n_global: int, n_local: int, block_index, dtype) -> jnp.ndarray:
+    """fft-layout integer wavenumbers for a contiguous local block of a full axis.
+
+    Global index j maps to wavenumber j (j < n/2) else j - n; ``block_index`` is
+    the mesh position along the sharded axis (``lax.axis_index`` inside
+    shard_map), so each device computes its own chunk — no host-side global
+    meshes are ever materialised (TPU-native replacement for the reference's
+    ``get_local_wavenumbermesh`` numpy construction).
+    """
+    j = block_index * n_local + jnp.arange(n_local)
+    return jnp.where(j < n_global // 2, j, j - n_global).astype(dtype)
+
+
+class BaseFFT:
+    """Common constructor/bookkeeping for slab/pencil/line transforms.
+
+    Constructor signature mirrors the reference: ``R2C(N, L, comm, precision,
+    communication=..., padsize=1.5, threads=..., planner_effort=...)``.
+    ``comm`` is mesh-like (see ``parallel.mesh``); ``threads``/``planner_effort``
+    are accepted for compatibility and ignored (XLA owns both concerns).
+    ``communication`` accepts the reference values ("Alltoall"/"Alltoallw") —
+    both map to ICI ``lax.all_to_all`` (XLA fuses the pack/unpack the way
+    Alltoallw's derived datatypes did) — plus "pipelined" to enable the
+    chunked transpose/FFT-overlap path (``parallel.pipeline``).
+    """
+
+    ndim: int = 3
+
+    def __init__(self, N, L, comm=None, precision: str = "single", *,
+                 communication: str = "Alltoall", padsize: float = 1.5,
+                 threads=None, planner_effort=None, fp64_mode: str = "auto",
+                 mesh: Optional[Mesh] = None):
+        del threads, planner_effort  # XLA-owned concerns; accepted for API parity
+        self.N = np.array(N, dtype=np.int64)
+        self.L = np.array(L, dtype=np.float64)
+        assert len(self.N) == self.ndim and len(self.L) == self.ndim
+        if communication not in ("Alltoall", "Alltoallw", "alltoall", "pipelined"):
+            raise ValueError(f"unknown communication={communication!r}")
+        self.communication = communication
+        self.padsize = float(padsize)
+        self.policy: DTypePolicy = resolve_precision(precision, fp64_mode)
+        self.float = self.policy.float
+        self.complex = self.policy.complex
+        self.mesh: Mesh = mesh if mesh is not None else self._make_mesh(comm)
+        self.num_processes = self.P = mesh_size(self.mesh)
+        self.rank = 0  # single-controller SPMD: the caller sees global arrays
+        self.work_arrays = work_arrays()
+        self._plans: Dict[Tuple, Callable] = {}
+        self._validate()
+
+    # -- subclass hooks --------------------------------------------------
+
+    def _make_mesh(self, comm) -> Mesh:
+        raise NotImplementedError
+
+    def _validate(self) -> None:
+        raise NotImplementedError
+
+    def real_spec(self) -> P:
+        raise NotImplementedError
+
+    def complex_spec(self) -> P:
+        raise NotImplementedError
+
+    # -- shardings & field factories (TPU-native additions) ---------------
+
+    def real_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.real_spec())
+
+    def complex_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.complex_spec())
+
+    def shard_real(self, u) -> jax.Array:
+        """Place a host/global array as a properly sharded physical-space field."""
+        return _device_put(u, self.float, self.real_sharding())
+
+    def shard_complex(self, fu) -> jax.Array:
+        return _device_put(fu, self.complex, self.complex_sharding())
+
+    def gather(self, x) -> np.ndarray:
+        """Fetch a (possibly sharded, possibly complex) field to host numpy.
+        Works on backends without native complex transfers (axon tunnel)."""
+        return to_numpy(x)
+
+    def zeros_real(self) -> jax.Array:
+        return jnp.zeros(self.global_real_shape(), self.float, device=self.real_sharding())
+
+    def zeros_complex(self) -> jax.Array:
+        return jnp.zeros(self.global_complex_shape(), self.complex,
+                         device=self.complex_sharding())
+
+    # -- plan cache --------------------------------------------------------
+
+    def _plan(self, key: Tuple, builder: Callable[[], Callable]) -> Callable:
+        fn = self._plans.get(key)
+        if fn is None:
+            fn = self._plans[key] = jax.jit(builder())
+        return fn
+
+    def _smap(self, fn, in_specs, out_specs):
+        return shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+
+    # -- misc reference-parity helpers --------------------------------------
+
+    def get_N(self):
+        return self.N
+
+    def _coerce(self, a, dtype, sharding) -> jax.Array:
+        if isinstance(a, jax.Array) and a.dtype == dtype:
+            return a
+        return _device_put(a, dtype, sharding)

@@ -1,0 +1,239 @@
+"""Line (1D) decomposition of 2D FFTs — TPU-native.
+
+Reference analog: ``mpiFFT4py/line.py`` ``R2C`` (reference mount empty at build
+time; parity target SURVEY.md §2.1 #5).  Algorithm:
+
+    forward:  local rfft(axis 1) → global transpose → local fft(axis 0)
+    inverse:  local ifft(axis 0) → global transpose → local irfft(axis 1)
+
+Layouts (global shapes; ``"p"`` = the 1D mesh axis):
+
+    physical: real (N0, N1)          sharded P("p", None)
+    spectral: complex (N0, Nfp)      sharded P(None, "p")
+
+With only two axes the halved Hermitian axis *must* be sharded in spectral
+space (unlike slab, which redistributes full axes only).  MPI handles the
+uneven Nf = N1//2+1 with Alltoallw derived datatypes; the TPU-static-shape
+equivalent is *alignment padding*: the spectral axis is padded to
+``Nfp = ceil(Nf/P)·P`` with structural zeros (modes k >= Nf).  ``Nf`` and
+``Nfp`` are both exposed; zeros are transparent to spectral algebra (masks and
+wavenumber helpers give the padded modes k >= Nf, which every dealias cutoff
+removes) and the inverse path slices them off before the final irfft.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from .base import BaseFFT, local_wavenumber_full
+from .parallel.mesh import AXIS, slab_mesh, check_divisible
+from .utils.spectral import (
+    pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
+    dealias_cutoffs,
+)
+
+__all__ = ["R2C"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class R2C(BaseFFT):
+    """Real ↔ complex 2D line transform (reference: mpiFFT4py/line.py R2C)."""
+
+    ndim = 2
+
+    def _make_mesh(self, comm):
+        return slab_mesh(comm)
+
+    def _validate(self):
+        if self.policy.path == "doubleword":
+            from .ops import dd_fft  # noqa: F401
+        check_divisible(self.N[0], self.P, "line real axis 0")
+        for n in self.N:
+            if n % 2:
+                raise ValueError(f"grid sizes must be even, got {tuple(self.N)}")
+        M = self.padsize * self.N
+        if not np.allclose(M, np.round(M)):
+            raise ValueError(f"padsize*N must be integral, got {M}")
+        self.M = np.round(M).astype(np.int64)
+        self.Nf = int(self.N[1]) // 2 + 1
+        self.Nfp = _cdiv(self.Nf, self.P) * self.P      # alignment-padded
+        self.Mf = int(self.M[1]) // 2 + 1
+        self.Mfp = _cdiv(self.Mf, self.P) * self.P
+
+    # -- shapes ---------------------------------------------------------------
+
+    def real_shape(self):
+        return (int(self.N[0]) // self.P, int(self.N[1]))
+
+    def complex_shape(self):
+        return (int(self.N[0]), self.Nfp // self.P)
+
+    def global_real_shape(self):
+        return tuple(int(n) for n in self.N)
+
+    def global_complex_shape(self):
+        return (int(self.N[0]), self.Nfp)
+
+    def real_shape_padded(self):
+        return (int(self.M[0]) // self.P, int(self.M[1]))
+
+    def global_real_shape_padded(self):
+        return tuple(int(m) for m in self.M)
+
+    def work_shape(self, dealias=None):
+        return self.real_shape_padded() if dealias == "3/2-rule" else self.real_shape()
+
+    def real_local_slice(self, rank: int = 0, padsize: float = 1.0):
+        Np0 = int(round(padsize * self.N[0])) // self.P
+        return (slice(rank * Np0, (rank + 1) * Np0),
+                slice(0, int(round(padsize * self.N[1]))))
+
+    def complex_local_slice(self, rank: int = 0):
+        c = self.Nfp // self.P
+        return (slice(0, int(self.N[0])), slice(rank * c, (rank + 1) * c))
+
+    # -- shardings --------------------------------------------------------------
+
+    def real_spec(self):
+        return P(AXIS, None)
+
+    def complex_spec(self):
+        return P(None, AXIS)
+
+    # -- meshes / masks -----------------------------------------------------------
+
+    def _k_local(self, dtype):
+        N0 = int(self.N[0])
+        cp = self.Nfp // self.P
+        r = lax.axis_index(AXIS) if self.P > 1 else 0
+        k0 = local_wavenumber_full(N0, N0, 0, dtype)
+        k1 = (r * cp + jnp.arange(cp)).astype(dtype)   # rfft layout: 0..Nfp-1
+        return k0, k1
+
+    def _mesh_build(self, builder, out_spec):
+        if self.P == 1:
+            return jax.jit(builder)()
+        return jax.jit(self._smap(builder, in_specs=(), out_specs=out_spec))()
+
+    def get_local_wavenumbermesh(self):
+        def build():
+            k0, k1 = self._k_local(self.float)
+            return jnp.stack(jnp.meshgrid(k0, k1, indexing="ij"))
+        return self._mesh_build(build, P(None, None, AXIS))
+
+    def get_scaled_local_wavenumbermesh(self):
+        s = (2 * np.pi / self.L).astype(self.float)
+        def build():
+            k0, k1 = self._k_local(self.float)
+            return jnp.stack(jnp.meshgrid(k0 * s[0], k1 * s[1], indexing="ij"))
+        return self._mesh_build(build, P(None, None, AXIS))
+
+    def get_dealias_filter(self):
+        def build():
+            return self._dealias_local()
+        return self._mesh_build(build, P(None, AXIS))
+
+    def _dealias_local(self):
+        c = dealias_cutoffs(self.N)
+        k0, k1 = self._k_local(jnp.float32)
+        return (jnp.abs(k0)[:, None] < c[0]) & (jnp.abs(k1)[None, :] < c[1])
+
+    def get_local_mesh(self):
+        N = [int(n) for n in self.N]
+        d = (self.L / self.N).astype(self.float)
+        Np0 = N[0] // self.P
+        Pn = self.P
+        def build():
+            r = lax.axis_index(AXIS) if Pn > 1 else 0
+            x0 = (r * Np0 + jnp.arange(Np0, dtype=self.float)) * d[0]
+            x1 = jnp.arange(N[1], dtype=self.float) * d[1]
+            return jnp.stack(jnp.meshgrid(x0, x1, indexing="ij"))
+        return self._mesh_build(build, P(None, AXIS, None))
+
+    # -- local pipelines ------------------------------------------------------------
+
+    def _align_pad(self, x, nf_valid: int, nfp: int):
+        """Zero-fill the rfft axis from nf_valid to the alignment-padded nfp."""
+        if x.shape[1] == nfp:
+            return x
+        pad = [(0, 0), (0, nfp - x.shape[1])]
+        return jnp.pad(x, pad)
+
+    def _fwd_local(self, u, dealias):
+        P_ = self.P
+        if dealias == "3/2-rule":
+            x = jnp.fft.rfft(u, axis=1)                      # (Mp0, Mf)
+            x = trunc_half_axis(x, 1, self.Nf)               # (Mp0, Nf)
+            x = self._align_pad(x, self.Nf, self.Nfp)        # (Mp0, Nfp)
+            if P_ > 1:
+                x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
+            x = jnp.fft.fft(x, axis=0)                       # (M0, Nfp/P)
+            x = trunc_full_axis(x, 0, int(self.N[0]))
+            return x * self.complex.type(1.0 / self.padsize ** 2)
+        x = jnp.fft.rfft(u, axis=1)                          # (Np0, Nf)
+        x = self._align_pad(x, self.Nf, self.Nfp)
+        if P_ > 1:
+            x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
+        x = jnp.fft.fft(x, axis=0)                           # (N0, Nfp/P)
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_local(self, fu, dealias):
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        if dealias == "3/2-rule":
+            x = pad_full_axis(fu, 0, int(self.M[0]))         # (M0, Nfp/P)
+            x = jnp.fft.ifft(x, axis=0)
+            if self.P > 1:
+                x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
+            x = x[:, :self.Nf]                               # drop alignment pad
+            x = pad_half_axis(x, 1, self.Mf)                 # (Mp0, Mf)
+            u = jnp.fft.irfft(x, n=int(self.M[1]), axis=1)
+            return (u * self.float.type(self.padsize ** 2)).astype(self.float)
+        x = jnp.fft.ifft(fu, axis=0)                         # (N0, Nfp/P)
+        if self.P > 1:
+            x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
+        x = x[:, :self.Nf]
+        return jnp.fft.irfft(x, n=int(self.N[1]), axis=1).astype(self.float)
+
+    # -- public transforms -------------------------------------------------------------
+
+    def _check_padded(self, dealias):
+        if dealias == "3/2-rule":
+            check_divisible(self.M[0], self.P, "line padded axis 0")
+
+    def forward_fn(self, dealias=None):
+        self._check_padded(dealias)
+        if self.P == 1:
+            return lambda u: self._fwd_local(u, dealias)
+        return self._smap(lambda u: self._fwd_local(u, dealias),
+                          in_specs=P(AXIS, None), out_specs=self.complex_spec())
+
+    def backward_fn(self, dealias=None):
+        self._check_padded(dealias)
+        if self.P == 1:
+            return lambda fu: self._bwd_local(fu, dealias)
+        return self._smap(lambda fu: self._bwd_local(fu, dealias),
+                          in_specs=self.complex_spec(), out_specs=P(AXIS, None))
+
+    def fft2(self, u, fu=None, dealias=None):
+        """Forward 2D transform (reference line.R2C.fft2)."""
+        from jax.sharding import NamedSharding
+        u = self._coerce(u, self.float, NamedSharding(self.mesh, P(AXIS, None)))
+        plan = self._plan(("fft2", dealias), lambda: self.forward_fn(dealias))
+        return plan(u)
+
+    def ifft2(self, fu, u=None, dealias=None):
+        """Inverse 2D transform (reference line.R2C.ifft2)."""
+        fu = self._coerce(fu, self.complex, self.complex_sharding())
+        plan = self._plan(("ifft2", dealias), lambda: self.backward_fn(dealias))
+        return plan(fu)

@@ -1,0 +1,279 @@
+"""Pencil (2D) decomposition of 3D FFTs — TPU-native.
+
+Reference analog: ``mpiFFT4py/pencil.py`` ``R2C`` on a P1×P2 process grid
+(reference mount empty at build time; parity target SURVEY.md §2.1 #4, §3.4).
+Algorithm (the textbook pencil pipeline):
+
+    forward:  local rfft(axis 2) → transpose over P2 → local fft(axis 1)
+              → transpose over P1 → local fft(axis 0)
+    inverse:  mirror image.
+
+TPU-native mapping:
+
+* process grid        = 2D ``Mesh`` with axes ``("p1", "p2")`` — the two
+  orthogonal sub-communicators the reference builds with ``Comm.Split`` are
+  exactly the named mesh axes; each ``lax.all_to_all`` over one name is an
+  Alltoall within one P1- or P2-sized group, riding ICI.
+* layouts (global shapes; X-aligned spectral pencils, reference default):
+
+      physical: real    (N0, N1, N2)    sharded P("p1", "p2", None)
+      spectral: complex (N0, N1, Nfp)   sharded P(None, "p1", "p2")
+
+* uneven Hermitian axis: pencil *must* shard the halved axis (Nf = N2//2+1,
+  odd).  MPI does uneven blocks with Alltoallw derived datatypes; the static-
+  shape TPU equivalent is alignment padding to ``Nfp = ceil(Nf/P2)·P2`` with
+  structural zero modes k >= Nf (transparent to spectral algebra, removed by
+  every dealias mask, sliced off before the final irfft).
+* ``alignment="X"`` (reference kwarg) selects which axis the spectral array is
+  aligned with; "X" (axis 0 local) is implemented — the DNS-relevant default;
+  "Y" raises NotImplementedError for now.
+
+Divisibility requirements (hard asserts, reference-parity): P1 | N0, P2 | N1,
+P1 | N1; padded variants additionally need P1 | M0, P2 | M1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .base import BaseFFT, local_wavenumber_full
+from .parallel.mesh import AXIS1, AXIS2, pencil_mesh, check_divisible
+from .utils.spectral import (
+    pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
+    dealias_cutoffs,
+)
+
+__all__ = ["R2C"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class R2C(BaseFFT):
+    """Real ↔ complex 3D pencil transform (reference: mpiFFT4py/pencil.py R2C)."""
+
+    ndim = 3
+
+    def __init__(self, N, L, comm=None, precision: str = "single", *,
+                 P1=None, alignment: str = "X", **kw):
+        if alignment not in ("X",):
+            raise NotImplementedError(
+                "alignment='Y' pencil orientation not yet implemented; 'X' is the"
+                " reference default and the DNS-relevant layout")
+        self.alignment = alignment
+        self._P1_req = P1
+        super().__init__(N, L, comm, precision, **kw)
+
+    def _make_mesh(self, comm):
+        return pencil_mesh(comm, P1=self._P1_req)
+
+    def _validate(self):
+        if self.policy.path == "doubleword":
+            from .ops import dd_fft  # noqa: F401
+        self.P1 = int(self.mesh.shape[AXIS1])
+        self.P2 = int(self.mesh.shape[AXIS2])
+        check_divisible(self.N[0], self.P1, "pencil real axis 0 (P1)")
+        check_divisible(self.N[1], self.P2, "pencil real axis 1 (P2)")
+        check_divisible(self.N[1], self.P1, "pencil spectral axis 1 (P1)")
+        for n in self.N:
+            if n % 2:
+                raise ValueError(f"grid sizes must be even, got {tuple(self.N)}")
+        M = self.padsize * self.N
+        if not np.allclose(M, np.round(M)):
+            raise ValueError(f"padsize*N must be integral, got {M}")
+        self.M = np.round(M).astype(np.int64)
+        self.Nf = int(self.N[2]) // 2 + 1
+        self.Nfp = _cdiv(self.Nf, self.P2) * self.P2
+        self.Mf = int(self.M[2]) // 2 + 1
+
+    # -- shapes -----------------------------------------------------------------
+
+    def real_shape(self):
+        return (int(self.N[0]) // self.P1, int(self.N[1]) // self.P2, int(self.N[2]))
+
+    def complex_shape(self):
+        return (int(self.N[0]), int(self.N[1]) // self.P1, self.Nfp // self.P2)
+
+    def global_real_shape(self):
+        return tuple(int(n) for n in self.N)
+
+    def global_complex_shape(self):
+        return (int(self.N[0]), int(self.N[1]), self.Nfp)
+
+    def real_shape_padded(self):
+        return (int(self.M[0]) // self.P1, int(self.M[1]) // self.P2, int(self.M[2]))
+
+    def global_real_shape_padded(self):
+        return tuple(int(m) for m in self.M)
+
+    def work_shape(self, dealias=None):
+        return self.real_shape_padded() if dealias == "3/2-rule" else self.real_shape()
+
+    def real_local_slice(self, coords=(0, 0), padsize: float = 1.0):
+        r1, r2 = coords
+        n0 = int(round(padsize * self.N[0])) // self.P1
+        n1 = int(round(padsize * self.N[1])) // self.P2
+        return (slice(r1 * n0, (r1 + 1) * n0), slice(r2 * n1, (r2 + 1) * n1),
+                slice(0, int(round(padsize * self.N[2]))))
+
+    def complex_local_slice(self, coords=(0, 0)):
+        r1, r2 = coords
+        n1 = int(self.N[1]) // self.P1
+        nf = self.Nfp // self.P2
+        return (slice(0, int(self.N[0])), slice(r1 * n1, (r1 + 1) * n1),
+                slice(r2 * nf, (r2 + 1) * nf))
+
+    # -- shardings ----------------------------------------------------------------
+
+    def real_spec(self):
+        return P(AXIS1, AXIS2, None)
+
+    def complex_spec(self):
+        return P(None, AXIS1, AXIS2)
+
+    # -- wavenumbers / masks ---------------------------------------------------------
+
+    def _k_local(self, dtype):
+        N0, N1 = int(self.N[0]), int(self.N[1])
+        n1 = N1 // self.P1
+        nf = self.Nfp // self.P2
+        multi = self.P > 1
+        r1 = lax.axis_index(AXIS1) if multi else 0
+        r2 = lax.axis_index(AXIS2) if multi else 0
+        k0 = local_wavenumber_full(N0, N0, 0, dtype)
+        k1 = local_wavenumber_full(N1, n1, r1, dtype)
+        k2 = (r2 * nf + jnp.arange(nf)).astype(dtype)
+        return k0, k1, k2
+
+    def _mesh_build(self, builder, out_spec):
+        if self.P == 1:
+            return jax.jit(builder)()
+        return jax.jit(self._smap(builder, in_specs=(), out_specs=out_spec))()
+
+    def get_local_wavenumbermesh(self):
+        def build():
+            k0, k1, k2 = self._k_local(self.float)
+            return jnp.stack(jnp.meshgrid(k0, k1, k2, indexing="ij"))
+        return self._mesh_build(build, P(None, None, AXIS1, AXIS2))
+
+    def get_scaled_local_wavenumbermesh(self):
+        s = (2 * np.pi / self.L).astype(self.float)
+        def build():
+            k0, k1, k2 = self._k_local(self.float)
+            return jnp.stack(jnp.meshgrid(k0 * s[0], k1 * s[1], k2 * s[2],
+                                          indexing="ij"))
+        return self._mesh_build(build, P(None, None, AXIS1, AXIS2))
+
+    def get_dealias_filter(self):
+        def build():
+            return self._dealias_local()
+        return self._mesh_build(build, P(None, AXIS1, AXIS2))
+
+    def _dealias_local(self):
+        c = dealias_cutoffs(self.N)
+        k0, k1, k2 = self._k_local(jnp.float32)
+        return ((jnp.abs(k0)[:, None, None] < c[0])
+                & (jnp.abs(k1)[None, :, None] < c[1])
+                & (jnp.abs(k2)[None, None, :] < c[2]))
+
+    def get_local_mesh(self):
+        N = [int(n) for n in self.N]
+        d = (self.L / self.N).astype(self.float)
+        n0, n1 = N[0] // self.P1, N[1] // self.P2
+        multi = self.P > 1
+        def build():
+            r1 = lax.axis_index(AXIS1) if multi else 0
+            r2 = lax.axis_index(AXIS2) if multi else 0
+            x0 = (r1 * n0 + jnp.arange(n0, dtype=self.float)) * d[0]
+            x1 = (r2 * n1 + jnp.arange(n1, dtype=self.float)) * d[1]
+            x2 = jnp.arange(N[2], dtype=self.float) * d[2]
+            return jnp.stack(jnp.meshgrid(x0, x1, x2, indexing="ij"))
+        return self._mesh_build(build, P(None, AXIS1, AXIS2, None))
+
+    # -- local pipelines -----------------------------------------------------------
+
+    def _align_pad2(self, x):
+        if x.shape[2] == self.Nfp:
+            return x
+        return jnp.pad(x, [(0, 0), (0, 0), (0, self.Nfp - x.shape[2])])
+
+    def _a2a(self, x, axis_name, split_axis, concat_axis):
+        if self.mesh.shape[axis_name] == 1:
+            return x
+        return lax.all_to_all(x, axis_name, split_axis=split_axis,
+                              concat_axis=concat_axis, tiled=True)
+
+    def _fwd_local(self, u, dealias):
+        padded = dealias == "3/2-rule"
+        x = jnp.fft.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
+        if padded:
+            x = trunc_half_axis(x, 2, self.Nf)
+        x = self._align_pad2(x)                        # (n0, n1, Nfp)
+        x = self._a2a(x, AXIS2, 2, 1)                  # (n0, N1|M1, Nfp/P2)
+        x = jnp.fft.fft(x, axis=1)
+        if padded:
+            x = trunc_full_axis(x, 1, int(self.N[1]))
+        x = self._a2a(x, AXIS1, 1, 0)                  # (N0|M0, N1/P1, Nfp/P2)
+        x = jnp.fft.fft(x, axis=0)
+        if padded:
+            x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = x * self.complex.type(1.0 / self.padsize ** 3)
+        elif dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_local(self, fu, dealias):
+        padded = dealias == "3/2-rule"
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        if padded:
+            fu = pad_full_axis(fu, 0, int(self.M[0]))
+        x = jnp.fft.ifft(fu, axis=0)                   # (N0|M0, N1/P1, Nfp/P2)
+        x = self._a2a(x, AXIS1, 0, 1)                  # (n0, N1, Nfp/P2)
+        if padded:
+            x = pad_full_axis(x, 1, int(self.M[1]))
+        x = jnp.fft.ifft(x, axis=1)
+        x = self._a2a(x, AXIS2, 1, 2)                  # (n0, n1, Nfp)
+        x = x[..., :self.Nf]
+        if padded:
+            x = pad_half_axis(x, 2, self.Mf)
+            u = jnp.fft.irfft(x, n=int(self.M[2]), axis=2)
+            return (u * self.float.type(self.padsize ** 3)).astype(self.float)
+        return jnp.fft.irfft(x, n=int(self.N[2]), axis=2).astype(self.float)
+
+    # -- public transforms ------------------------------------------------------------
+
+    def _check_padded(self, dealias):
+        if dealias == "3/2-rule":
+            check_divisible(self.M[0], self.P1, "pencil padded axis 0 (P1)")
+            check_divisible(self.M[1], self.P2, "pencil padded axis 1 (P2)")
+
+    def forward_fn(self, dealias=None):
+        self._check_padded(dealias)
+        if self.P == 1:
+            return lambda u: self._fwd_local(u, dealias)
+        return self._smap(lambda u: self._fwd_local(u, dealias),
+                          in_specs=self.real_spec(), out_specs=self.complex_spec())
+
+    def backward_fn(self, dealias=None):
+        self._check_padded(dealias)
+        if self.P == 1:
+            return lambda fu: self._bwd_local(fu, dealias)
+        return self._smap(lambda fu: self._bwd_local(fu, dealias),
+                          in_specs=self.complex_spec(), out_specs=self.real_spec())
+
+    def fftn(self, u, fu=None, dealias=None):
+        u = self._coerce(u, self.float, NamedSharding(self.mesh, self.real_spec()))
+        plan = self._plan(("fftn", dealias), lambda: self.forward_fn(dealias))
+        return plan(u)
+
+    def ifftn(self, fu, u=None, dealias=None):
+        fu = self._coerce(fu, self.complex, self.complex_sharding())
+        plan = self._plan(("ifftn", dealias), lambda: self.backward_fn(dealias))
+        return plan(fu)

@@ -1,0 +1,115 @@
+"""Spectral-space padding/truncation and wavenumber helpers.
+
+TPU-native re-design of the reference's 3/2-rule "copy_to_padded / copy_from_padded"
+helpers and wavenumber-mesh builders (reference: mpiFFT4py/slab.py — mount empty at
+build time, parity target SURVEY.md §3.3).
+
+All functions are pure ``jnp`` ops with static shapes, safe inside
+``jit``/``shard_map``.
+
+Nyquist handling (exactness): when zero-padding a length-N *full* (c2c-layout)
+spectral axis to length M, the single N-grid Nyquist coefficient a = c[N/2]
+aliases the +N/2 and −N/2 modes.  We split it — c_pad[N/2] = c_pad[M−N/2] = a/2 —
+which (i) keeps the padded spectrum Hermitian-symmetric for real fields, and
+(ii) makes truncation (which *sums* the two positions) an exact inverse, so
+``fftn(ifftn(fu, dealias="3/2-rule"), dealias="3/2-rule") == fu`` to roundoff.
+For the *half* (rfft-layout) last axis the Nyquist c[Nf−1] is likewise halved on
+padding and doubled on truncation (it moves from weight-1 to weight-2 in the
+padded reconstruction).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "pad_full_axis", "trunc_full_axis", "pad_half_axis", "trunc_half_axis",
+    "wavenumbers_full", "wavenumbers_half", "dealias_cutoffs",
+]
+
+
+def _slc(ndim: int, axis: int, start, stop) -> Tuple[slice, ...]:
+    s = [slice(None)] * ndim
+    s[axis] = slice(start, stop)
+    return tuple(s)
+
+
+def pad_full_axis(x: jnp.ndarray, axis: int, M: int) -> jnp.ndarray:
+    """Zero-pad a full (fft-layout) spectral axis from N to M, splitting Nyquist."""
+    N = x.shape[axis]
+    if M == N:
+        return x
+    assert N % 2 == 0, f"padded transforms need even sizes, got {N}"
+    assert M > N
+    h = N // 2
+    nd = x.ndim
+    pos = x[_slc(nd, axis, 0, h)]
+    ny = x[_slc(nd, axis, h, h + 1)] * 0.5
+    neg = x[_slc(nd, axis, h + 1, N)]
+    zshape = list(x.shape)
+    zshape[axis] = M - N - 1
+    zeros = jnp.zeros(zshape, dtype=x.dtype)
+    return jnp.concatenate([pos, ny, zeros, ny, neg], axis=axis)
+
+
+def trunc_full_axis(x: jnp.ndarray, axis: int, N: int) -> jnp.ndarray:
+    """Truncate a full spectral axis from M back to N, summing the split Nyquist."""
+    M = x.shape[axis]
+    if M == N:
+        return x
+    h = N // 2
+    nd = x.ndim
+    pos = x[_slc(nd, axis, 0, h)]
+    ny = x[_slc(nd, axis, h, h + 1)] + x[_slc(nd, axis, M - h, M - h + 1)]
+    neg = x[_slc(nd, axis, M - h + 1, M)]
+    return jnp.concatenate([pos, ny, neg], axis=axis)
+
+
+def pad_half_axis(x: jnp.ndarray, axis: int, Mf: int, Nf: int | None = None) -> jnp.ndarray:
+    """Zero-pad a half (rfft-layout) spectral axis from Nf to Mf, halving Nyquist.
+
+    ``Nf`` lets callers pad arrays whose axis already carries alignment padding
+    (pencil's Nfp): modes at index >= Nf are dropped (they are structural zeros).
+    """
+    nd = x.ndim
+    if Nf is None:
+        Nf = x.shape[axis]
+    if Mf == Nf and Nf == x.shape[axis]:
+        return x
+    body = x[_slc(nd, axis, 0, Nf - 1)]
+    ny = x[_slc(nd, axis, Nf - 1, Nf)] * 0.5
+    zshape = list(x.shape)
+    zshape[axis] = Mf - Nf
+    zeros = jnp.zeros(zshape, dtype=x.dtype)
+    return jnp.concatenate([body, ny, zeros], axis=axis)
+
+
+def trunc_half_axis(x: jnp.ndarray, axis: int, Nf: int) -> jnp.ndarray:
+    """Truncate a half spectral axis from Mf back to Nf, doubling Nyquist."""
+    nd = x.ndim
+    if x.shape[axis] == Nf:
+        return x
+    body = x[_slc(nd, axis, 0, Nf - 1)]
+    ny = x[_slc(nd, axis, Nf - 1, Nf)] * 2.0
+    return jnp.concatenate([body, ny], axis=axis)
+
+
+# ---- wavenumbers ------------------------------------------------------------
+
+def wavenumbers_full(n: int, dtype=np.float64) -> np.ndarray:
+    """Integer wavenumbers in fft layout: [0..n/2-1, -n/2..-1] (numpy fftfreq*n)."""
+    return np.fft.fftfreq(n, 1.0 / n).astype(dtype)
+
+
+def wavenumbers_half(nf: int, dtype=np.float64) -> np.ndarray:
+    """Integer wavenumbers in rfft layout: [0..nf-1] (covers alignment padding too:
+    padded entries get k >= Nf which every dealias cutoff removes)."""
+    return np.arange(nf, dtype=dtype)
+
+
+def dealias_cutoffs(N: Sequence[int]) -> np.ndarray:
+    """2/3-rule cutoffs per axis: keep |k_i| < (2/3)·(N_i/2)."""
+    return np.array([(2.0 / 3.0) * (n // 2) for n in N])

@@ -1,0 +1,107 @@
+"""Pencil R2C (3D, 2D mesh decomposition) vs numpy oracles — driver eval config 4."""
+
+import numpy as np
+import pytest
+
+from mpifft4py_tpu import pencil
+from mpifft4py_tpu.parallel.mesh import pencil_mesh
+
+TAU = 2 * np.pi
+
+
+def make(N, comm=8, P1=None, precision="double", **kw):
+    return pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), comm, precision,
+                      P1=P1, **kw)
+
+
+@pytest.mark.parametrize("P1", [1, 2, 4, 8])
+@pytest.mark.parametrize("precision", ["single", "double"])
+def test_pencil_vs_numpy(rng, P1, precision):
+    N = 16
+    FFT = make(N, 8, P1=P1, precision=precision)
+    assert FFT.P1 * FFT.P2 == 8
+    u = rng.standard_normal((N, N, N)).astype(FFT.float)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    tol = 2e-4 if precision == "single" else 1e-11
+    assert fu.shape == FFT.global_complex_shape()
+    assert np.allclose(fu[..., :FFT.Nf], ref, atol=tol * N ** 3)
+    assert np.all(fu[..., FFT.Nf:] == 0)  # alignment-pad modes are structural zeros
+    ub = FFT.ifftn(fu)
+    assert np.allclose(np.asarray(ub), u, atol=tol)
+
+
+def test_pencil_256_smoke_2x4(rng):
+    """Driver eval config 4 (scaled down in dims but the real 2D-mesh path):
+    pencil R2C on a P1×P2 = 2×4 process mesh."""
+    N = 64
+    FFT = make(N, 8, P1=2)
+    u = rng.standard_normal((N, N, N))
+    fu = np.asarray(FFT.fftn(u))
+    ref = np.fft.rfftn(u)
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 1e-12
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() < 1e-12
+
+
+@pytest.mark.parametrize("P1", [2, 4])
+def test_pencil_padded_roundtrip(rng, P1):
+    N = 16
+    FFT = make(N, 8, P1=P1)
+    u = rng.standard_normal((N, N, N))
+    fu = np.asarray(FFT.fftn(u))
+    up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+    assert up.shape == FFT.global_real_shape_padded()
+    fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.allclose(fu2, fu, atol=1e-10 * N ** 3)
+
+
+def test_pencil_padded_physical(rng):
+    N = 16
+    FFT = make(N, 8, P1=2)
+    x = np.arange(N) * TAU / N
+    X = np.meshgrid(x, x, x, indexing="ij")
+    u = np.cos(3 * X[0]) * np.sin(2 * X[1]) * np.sin(X[2])
+    up = np.asarray(FFT.ifftn(FFT.fftn(u), dealias="3/2-rule"))
+    M = 3 * N // 2
+    xm = np.arange(M) * TAU / M
+    Xm = np.meshgrid(xm, xm, xm, indexing="ij")
+    um = np.cos(3 * Xm[0]) * np.sin(2 * Xm[1]) * np.sin(Xm[2])
+    assert np.abs(up - um).max() < 1e-10
+
+
+def test_pencil_dealias_matches_oracle(rng):
+    N = 16
+    FFT = make(N, 8, P1=4)
+    u = rng.standard_normal((N, N, N))
+    fu = np.asarray(FFT.fftn(u, dealias="2/3-rule"))
+    ref = np.fft.rfftn(u)
+    cut = 2 / 3 * (N // 2)
+    k = np.fft.fftfreq(N, 1 / N)
+    k2 = np.arange(FFT.Nfp)
+    mask = ((np.abs(k)[:, None, None] < cut) & (np.abs(k)[None, :, None] < cut)
+            & (k2[None, None, :] < cut))
+    refm = np.where(mask[..., :FFT.Nf], ref, 0)
+    assert np.allclose(fu[..., :FFT.Nf], refm, atol=1e-9)
+    filt = np.asarray(FFT.get_dealias_filter())
+    assert np.array_equal(filt.astype(bool), mask)
+
+
+def test_pencil_wavenumbers_and_shapes():
+    N = 16
+    FFT = make(N, 8, P1=2)
+    K = np.asarray(FFT.get_local_wavenumbermesh())
+    k = np.fft.fftfreq(N, 1 / N)
+    assert np.array_equal(K[0][:, 0, 0], k)
+    assert np.array_equal(K[1][0, :, 0], k)
+    assert np.array_equal(K[2][0, 0, :], np.arange(FFT.Nfp))
+    assert FFT.real_shape() == (N // 2, N // 4, N)
+    assert FFT.complex_shape() == (N, N // 2, FFT.Nfp // 4)
+    X = np.asarray(FFT.get_local_mesh())
+    assert np.allclose(X[0][:, 0, 0], np.arange(N) * TAU / N)
+
+
+def test_pencil_mesh_factorization():
+    m = pencil_mesh(8)
+    assert m.shape["p1"] * m.shape["p2"] == 8
+    assert m.shape["p1"] == 2  # most square with P1 <= P2
