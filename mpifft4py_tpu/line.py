@@ -32,6 +32,7 @@ from jax.sharding import PartitionSpec as P
 
 from .base import BaseFFT, local_wavenumber_full
 from .parallel.mesh import AXIS, slab_mesh, check_divisible
+from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
     dealias_cutoffs,
@@ -170,19 +171,19 @@ class R2C(BaseFFT):
     def _fwd_local(self, u, dealias):
         P_ = self.P
         if dealias == "3/2-rule":
-            x = jnp.fft.rfft(u, axis=1)                      # (Mp0, Mf)
+            x = fc.rfft(u, axis=1)                      # (Mp0, Mf)
             x = trunc_half_axis(x, 1, self.Nf)               # (Mp0, Nf)
             x = self._align_pad(x, self.Nf, self.Nfp)        # (Mp0, Nfp)
             if P_ > 1:
                 x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
-            x = jnp.fft.fft(x, axis=0)                       # (M0, Nfp/P)
+            x = fc.fft(x, axis=0)                       # (M0, Nfp/P)
             x = trunc_full_axis(x, 0, int(self.N[0]))
             return x * self.complex.type(1.0 / self.padsize ** 2)
-        x = jnp.fft.rfft(u, axis=1)                          # (Np0, Nf)
+        x = fc.rfft(u, axis=1)                          # (Np0, Nf)
         x = self._align_pad(x, self.Nf, self.Nfp)
         if P_ > 1:
             x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
-        x = jnp.fft.fft(x, axis=0)                           # (N0, Nfp/P)
+        x = fc.fft(x, axis=0)                           # (N0, Nfp/P)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -192,18 +193,18 @@ class R2C(BaseFFT):
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":
             x = pad_full_axis(fu, 0, int(self.M[0]))         # (M0, Nfp/P)
-            x = jnp.fft.ifft(x, axis=0)
+            x = fc.ifft(x, axis=0)
             if self.P > 1:
                 x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
             x = x[:, :self.Nf]                               # drop alignment pad
             x = pad_half_axis(x, 1, self.Mf)                 # (Mp0, Mf)
-            u = jnp.fft.irfft(x, n=int(self.M[1]), axis=1)
+            u = fc.irfft(x, n=int(self.M[1]), axis=1)
             return (u * self.float.type(self.padsize ** 2)).astype(self.float)
-        x = jnp.fft.ifft(fu, axis=0)                         # (N0, Nfp/P)
+        x = fc.ifft(fu, axis=0)                         # (N0, Nfp/P)
         if self.P > 1:
             x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
         x = x[:, :self.Nf]
-        return jnp.fft.irfft(x, n=int(self.N[1]), axis=1).astype(self.float)
+        return fc.irfft(x, n=int(self.N[1]), axis=1).astype(self.float)
 
     # -- public transforms -------------------------------------------------------------
 

@@ -43,6 +43,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .base import BaseFFT, local_wavenumber_full
 from .parallel.mesh import AXIS1, AXIS2, pencil_mesh, check_divisible
+from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
     dealias_cutoffs,
@@ -211,16 +212,16 @@ class R2C(BaseFFT):
 
     def _fwd_local(self, u, dealias):
         padded = dealias == "3/2-rule"
-        x = jnp.fft.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
+        x = fc.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
         if padded:
             x = trunc_half_axis(x, 2, self.Nf)
         x = self._align_pad2(x)                        # (n0, n1, Nfp)
         x = self._a2a(x, AXIS2, 2, 1)                  # (n0, N1|M1, Nfp/P2)
-        x = jnp.fft.fft(x, axis=1)
+        x = fc.fft(x, axis=1)
         if padded:
             x = trunc_full_axis(x, 1, int(self.N[1]))
         x = self._a2a(x, AXIS1, 1, 0)                  # (N0|M0, N1/P1, Nfp/P2)
-        x = jnp.fft.fft(x, axis=0)
+        x = fc.fft(x, axis=0)
         if padded:
             x = trunc_full_axis(x, 0, int(self.N[0]))
             x = x * self.complex.type(1.0 / self.padsize ** 3)
@@ -234,18 +235,18 @@ class R2C(BaseFFT):
             fu = jnp.where(self._dealias_local(), fu, 0)
         if padded:
             fu = pad_full_axis(fu, 0, int(self.M[0]))
-        x = jnp.fft.ifft(fu, axis=0)                   # (N0|M0, N1/P1, Nfp/P2)
+        x = fc.ifft(fu, axis=0)                   # (N0|M0, N1/P1, Nfp/P2)
         x = self._a2a(x, AXIS1, 0, 1)                  # (n0, N1, Nfp/P2)
         if padded:
             x = pad_full_axis(x, 1, int(self.M[1]))
-        x = jnp.fft.ifft(x, axis=1)
+        x = fc.ifft(x, axis=1)
         x = self._a2a(x, AXIS2, 1, 2)                  # (n0, n1, Nfp)
         x = x[..., :self.Nf]
         if padded:
             x = pad_half_axis(x, 2, self.Mf)
-            u = jnp.fft.irfft(x, n=int(self.M[2]), axis=2)
+            u = fc.irfft(x, n=int(self.M[2]), axis=2)
             return (u * self.float.type(self.padsize ** 3)).astype(self.float)
-        return jnp.fft.irfft(x, n=int(self.N[2]), axis=2).astype(self.float)
+        return fc.irfft(x, n=int(self.N[2]), axis=2).astype(self.float)
 
     # -- public transforms ------------------------------------------------------------
 

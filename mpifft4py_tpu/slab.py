@@ -42,6 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .base import BaseFFT, local_wavenumber_full
 from .parallel.mesh import AXIS, slab_mesh, check_divisible
+from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
     dealias_cutoffs,
@@ -227,12 +228,12 @@ class _Slab3D(BaseFFT):
             x = trunc_full_axis(x, 1, int(self.N[1]))
             x = self._trunc_last(x)                           # (Mp0, N1, lastf)
             x = self._a2a_fwd(x) if self.P > 1 else x         # (M0, Np1, lastf)
-            x = jnp.fft.fft(x, axis=0)
+            x = fc.fft(x, axis=0)
             x = trunc_full_axis(x, 0, int(self.N[0]))
             return x * self.complex.type(1.0 / self.padsize ** 3)
         x = self._fft_yz(u)                                   # (Np0, N1, lastf)
         x = self._a2a_fwd(x) if self.P > 1 else x             # (N0, Np1, lastf)
-        x = jnp.fft.fft(x, axis=0)
+        x = fc.fft(x, axis=0)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -242,13 +243,13 @@ class _Slab3D(BaseFFT):
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":
             x = pad_full_axis(fu, 0, int(self.M[0]))          # (M0, Np1, lastf)
-            x = jnp.fft.ifft(x, axis=0)
+            x = fc.ifft(x, axis=0)
             x = self._a2a_bwd(x) if self.P > 1 else x         # (Mp0, N1, lastf)
             x = pad_full_axis(x, 1, int(self.M[1]))
             x = self._pad_last(x)                             # (Mp0, M1, Mlastf)
             u = self._ifft_yz(x, padded=True)
             return u * self.float.type(self.padsize ** 3)
-        x = jnp.fft.ifft(fu, axis=0)
+        x = fc.ifft(fu, axis=0)
         x = self._a2a_bwd(x) if self.P > 1 else x             # (Np0, N1, lastf)
         return self._ifft_yz(x, padded=False)
 
@@ -316,11 +317,11 @@ class R2C(_Slab3D):
         return self._lastf
 
     def _fft_yz(self, u):
-        return jnp.fft.rfft2(u, axes=(1, 2))
+        return fc.rfft2(u, axes=(1, 2))
 
     def _ifft_yz(self, x, padded):
         s = tuple(int(v) for v in (self.M[1:] if padded else self.N[1:]))
-        return jnp.fft.irfft2(x, s=s, axes=(1, 2)).astype(self.float)
+        return fc.irfft2(x, s=s, axes=(1, 2)).astype(self.float)
 
     def _trunc_last(self, x):
         return trunc_half_axis(x, 2, self._lastf)
@@ -341,10 +342,10 @@ class C2C(_Slab3D):
         return self.complex
 
     def _fft_yz(self, u):
-        return jnp.fft.fft2(u, axes=(1, 2))
+        return fc.fft2(u, axes=(1, 2))
 
     def _ifft_yz(self, x, padded):
-        return jnp.fft.ifft2(x, axes=(1, 2))
+        return fc.ifft2(x, axes=(1, 2))
 
     def _trunc_last(self, x):
         return trunc_full_axis(x, 2, int(self.N[2]))
