@@ -86,6 +86,11 @@ def resolve_precision(precision: str, fp64_mode: str = "auto") -> DTypePolicy:
         raise ValueError(f"precision must be 'single' or 'double', got {precision!r}")
 
     if fp64_mode == "native":
+        if not _x64_enabled():
+            raise ValueError(
+                "fp64_mode='native' requires jax_enable_x64 — without it arrays "
+                "silently degrade to float32. On TPU use fp64_mode='doubleword' "
+                "(or 'auto').")
         return DTypePolicy("double", np.dtype(np.float64), np.dtype(np.complex128), "native")
     if fp64_mode == "doubleword":
         return DTypePolicy("double", np.dtype(np.float32), np.dtype(np.complex64), "doubleword")

@@ -253,6 +253,62 @@ class _Slab3D(BaseFFT):
         x = self._a2a_bwd(x) if self.P > 1 else x             # (Np0, N1, lastf)
         return self._ifft_yz(x, padded=False)
 
+    # -- double-word (emulated fp64) local pipelines ---------------------------
+    #
+    # precision="double" on TPU resolves to policy.path == "doubleword": fields
+    # are DD / DDComplex pytrees of float32 pairs (ops.doubledouble) and the
+    # local FFT stages run the dd Stockham kernels (ops.dd_fft).  The all-to-all
+    # moves the four float32 leaves — same choreography, 2× the bytes of c64.
+    # Validated <1e-14 relative on TPU (the <1e-12 BASELINE target); NOTE: on
+    # the CPU backend, XLA's fusion-level FMA contraction degrades dd jit
+    # accuracy to ~1e-7 — CPU "double" uses native f64 instead (policy "auto").
+
+    def _a2a_tree(self, x, split_axis, concat_axis):
+        return jax.tree.map(
+            lambda v: lax.all_to_all(v, AXIS, split_axis=split_axis,
+                                     concat_axis=concat_axis, tiled=True), x)
+
+    def _fwd_local_dd(self, u, dealias):
+        from .ops import dd_fft as df
+        from .ops.doubledouble import DD, dd_where
+        from .utils import spectral_dd as sdd
+
+        if dealias == "3/2-rule":
+            x = self._fft_yz_dd(u)                              # (Mp0, M1, Mf')
+            x = sdd.trunc_full_axis_dd(x, 1, int(self.N[1]))
+            x = self._trunc_last_dd(x)
+            x = self._a2a_tree(x, 1, 0) if self.P > 1 else x
+            x = df.fft_dd(x, axis=0)
+            x = sdd.trunc_full_axis_dd(x, 0, int(self.N[0]))
+            s = DD.from_f64(np.array(1.0 / self.padsize ** 3))
+            return x * s
+        x = self._fft_yz_dd(u)
+        x = self._a2a_tree(x, 1, 0) if self.P > 1 else x
+        x = df.fft_dd(x, axis=0)
+        if dealias == "2/3-rule":
+            x = dd_where(self._dealias_local(), x)
+        return x
+
+    def _bwd_local_dd(self, fu, dealias):
+        from .ops import dd_fft as df
+        from .ops.doubledouble import DD, dd_where
+        from .utils import spectral_dd as sdd
+
+        if dealias == "2/3-rule":
+            fu = dd_where(self._dealias_local(), fu)
+        if dealias == "3/2-rule":
+            x = sdd.pad_full_axis_dd(fu, 0, int(self.M[0]))
+            x = df.ifft_dd(x, axis=0)
+            x = self._a2a_tree(x, 0, 1) if self.P > 1 else x
+            x = sdd.pad_full_axis_dd(x, 1, int(self.M[1]))
+            x = self._pad_last_dd(x)
+            u = self._ifft_yz_dd(x, padded=True)
+            s = DD.from_f64(np.array(self.padsize ** 3))
+            return u * s
+        x = df.ifft_dd(fu, axis=0)
+        x = self._a2a_tree(x, 0, 1) if self.P > 1 else x
+        return self._ifft_yz_dd(x, padded=False)
+
     # -- public transforms ------------------------------------------------------
 
     def _check_padded(self, dealias):
@@ -263,31 +319,68 @@ class _Slab3D(BaseFFT):
         """The raw (unjitted) global->global forward, for composition into
         larger jitted programs (e.g. a DNS RK4 substep)."""
         self._check_padded(dealias)
+        dd = self.policy.path == "doubleword"
+        local = self._fwd_local_dd if dd else self._fwd_local
         if self.P == 1:
-            return lambda u: self._fwd_local(u, dealias)
+            return lambda u: local(u, dealias)
         in_spec = P(AXIS, None, None)
-        return self._smap(lambda u: self._fwd_local(u, dealias),
+        return self._smap(lambda u: local(u, dealias),
                           in_specs=in_spec, out_specs=self.complex_spec())
 
     def backward_fn(self, dealias=None):
         self._check_padded(dealias)
+        dd = self.policy.path == "doubleword"
+        local = self._bwd_local_dd if dd else self._bwd_local
         if self.P == 1:
-            return lambda fu: self._bwd_local(fu, dealias)
+            return lambda fu: local(fu, dealias)
         out_spec = P(AXIS, None, None)
-        return self._smap(lambda fu: self._bwd_local(fu, dealias),
+        return self._smap(lambda fu: local(fu, dealias),
                           in_specs=self.complex_spec(), out_specs=out_spec)
+
+    # -- dd field construction ----------------------------------------------------
+
+    def shard_real_dd(self, u):
+        """Host float64 physical field → sharded DD (TPU doubleword mode)."""
+        from .ops.doubledouble import DD
+        d = DD.from_f64(np.asarray(u, np.float64))
+        sh = NamedSharding(self.mesh, P(AXIS, None, None))
+        return jax.tree.map(lambda v: jax.device_put(v, sh), d)
+
+    def shard_complex_dd(self, fu):
+        from .ops.doubledouble import DDComplex
+        d = DDComplex.from_c128(np.asarray(fu, np.complex128))
+        sh = self.complex_sharding()
+        return jax.tree.map(lambda v: jax.device_put(v, sh), d)
+
+    def gather_dd(self, x):
+        """DD / DDComplex → host numpy float64 / complex128."""
+        from .ops.doubledouble import DD, DDComplex
+        if isinstance(x, DDComplex):
+            return x.to_c128()
+        if isinstance(x, DD):
+            return x.to_f64()
+        return self.gather(x)
 
     def fftn(self, u, fu=None, dealias=None):
         """Forward 3D transform.  ``fu`` (reference out-param) accepted, ignored."""
-        pad = dealias == "3/2-rule"
-        shard = NamedSharding(self.mesh, P(AXIS, None, None))
-        u = self._coerce(u, self._in_dtype, shard)
+        if self.policy.path == "doubleword":
+            from .ops.doubledouble import DD, DDComplex
+            if not isinstance(u, (DD, DDComplex)):
+                u = self.shard_real_dd(u)
+        else:
+            shard = NamedSharding(self.mesh, P(AXIS, None, None))
+            u = self._coerce(u, self._in_dtype, shard)
         plan = self._plan(("fftn", dealias), lambda: self.forward_fn(dealias))
         return plan(u)
 
     def ifftn(self, fu, u=None, dealias=None):
         """Inverse 3D transform.  ``u`` (reference out-param) accepted, ignored."""
-        fu = self._coerce(fu, self.complex, self.complex_sharding())
+        if self.policy.path == "doubleword":
+            from .ops.doubledouble import DD, DDComplex
+            if not isinstance(fu, (DD, DDComplex)):
+                fu = self.shard_complex_dd(fu)
+        else:
+            fu = self._coerce(fu, self.complex, self.complex_sharding())
         plan = self._plan(("ifftn", dealias), lambda: self.backward_fn(dealias))
         return plan(fu)
 
@@ -329,6 +422,24 @@ class R2C(_Slab3D):
     def _pad_last(self, x):
         return pad_half_axis(x, 2, self._lastf_padded)
 
+    # doubleword hooks
+    def _fft_yz_dd(self, u):
+        from .ops import dd_fft as df
+        return df.fft_dd(df.rfft_dd(u, axis=2), axis=1)
+
+    def _ifft_yz_dd(self, x, padded):
+        from .ops import dd_fft as df
+        n2 = int(self.M[2] if padded else self.N[2])
+        return df.irfft_dd(df.ifft_dd(x, axis=1), axis=2, n=n2)
+
+    def _trunc_last_dd(self, x):
+        from .utils import spectral_dd as sdd
+        return sdd.trunc_half_axis_dd(x, 2, self._lastf)
+
+    def _pad_last_dd(self, x):
+        from .utils import spectral_dd as sdd
+        return sdd.pad_half_axis_dd(x, 2, self._lastf_padded)
+
 
 class C2C(_Slab3D):
     """Complex ↔ complex 3D slab transform (reference: mpiFFT4py/slab.py C2C).
@@ -357,5 +468,28 @@ class C2C(_Slab3D):
         return super().real_shape()
 
     def shard_real(self, u):
-        return jax.device_put(jnp.asarray(u, dtype=self.complex),
-                              NamedSharding(self.mesh, P(AXIS, None, None)))
+        from .utils.transfer import device_put as _dp
+        return _dp(u, self.complex, NamedSharding(self.mesh, P(AXIS, None, None)))
+
+    # doubleword hooks (complex "physical" space)
+    def _fft_yz_dd(self, u):
+        from .ops import dd_fft as df
+        return df.fft_dd(df.fft_dd(u, axis=2), axis=1)
+
+    def _ifft_yz_dd(self, x, padded):
+        from .ops import dd_fft as df
+        return df.ifft_dd(df.ifft_dd(x, axis=2), axis=1)
+
+    def _trunc_last_dd(self, x):
+        from .utils import spectral_dd as sdd
+        return sdd.trunc_full_axis_dd(x, 2, int(self.N[2]))
+
+    def _pad_last_dd(self, x):
+        from .utils import spectral_dd as sdd
+        return sdd.pad_full_axis_dd(x, 2, int(self.M[2]))
+
+    def shard_real_dd(self, u):
+        from .ops.doubledouble import DDComplex
+        d = DDComplex.from_c128(np.asarray(u, np.complex128))
+        sh = NamedSharding(self.mesh, P(AXIS, None, None))
+        return jax.tree.map(lambda v: jax.device_put(v, sh), d)
