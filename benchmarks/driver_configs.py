@@ -1,0 +1,114 @@
+"""BASELINE.md eval-config sweep (configs 1-5, scaled to available devices).
+
+Run on TPU:  PYTHONPATH=... python benchmarks/driver_configs.py
+Run on CPU mesh: JAX_PLATFORMS=cpu python benchmarks/driver_configs.py --cpu8
+
+Prints one JSON line per config: time, accuracy, transpose GB/s/chip.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    if "--cpu8" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    import jax
+    from mpifft4py_tpu import slab, line, pencil
+    from mpifft4py_tpu.utils.profiling import measure, transpose_stats
+
+    ndev = len(jax.devices())
+    TAU = 2 * np.pi
+    rng = np.random.default_rng(0)
+    results = []
+
+    def report(name, FFT, t_rt, err):
+        st = transpose_stats(FFT, t_rt)
+        row = {"config": name, "roundtrip_ms": round(t_rt * 1e3, 3),
+               "max_rel_err": float(err), "devices": FFT.P,
+               "transpose_GBps_chip": round(st.gb_per_s_per_chip, 2)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1. slab R2C 64^3 "double", round-trip vs numpy.fft.rfftn
+    N = 64
+    FFT = slab.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "double")
+    u = rng.standard_normal((N, N, N))
+    if FFT.policy.path == "doubleword":
+        fu = FFT.fftn(u)
+        out = FFT.gather_dd(fu)
+        ub = FFT.gather_dd(FFT.ifftn(fu))
+    else:
+        fu = FFT.fftn(u)
+        out = FFT.gather(fu)
+        ub = np.asarray(FFT.ifftn(fu))
+    ref = np.fft.rfftn(u)
+    err = max(np.abs(out - ref).max() / np.abs(ref).max(),
+              np.abs(ub - u).max())
+    fwd, bwd = FFT.forward_fn(), FFT.backward_fn()
+    t = measure(lambda v: bwd(fwd(v)),
+                FFT.shard_real_dd(u) if FFT.policy.path == "doubleword"
+                else FFT.shard_real(u))
+    report("1_slab_r2c_64cubed_double", FFT, t, err)
+
+    # 2. line R2C 512^2
+    N = 512
+    FFT = line.R2C(np.array([N, N]), np.array([TAU, TAU]), None, "single")
+    u32 = rng.standard_normal((N, N)).astype(np.float32)
+    fu = FFT.fft2(u32)
+    out = FFT.gather(fu)[:, :FFT.Nf]
+    ref = np.fft.rfft2(u32.astype(np.float64))
+    err = np.abs(out - ref).max() / np.abs(ref).max()
+    fwd, bwd = FFT.forward_fn(), FFT.backward_fn()
+    t = measure(lambda v: bwd(fwd(v)), FFT.shard_real(u32))
+    report("2_line_r2c_512sq", FFT, t, err)
+
+    # 3. slab R2C 256^3 with dealiased (2/3-rule and 3/2-rule) transforms
+    N = 256 if jax.default_backend() == "tpu" else 64
+    FFT = slab.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single")
+    u32 = rng.standard_normal((N, N, N)).astype(np.float32)
+    fwd23 = FFT.forward_fn("2/3-rule")
+    bwd = FFT.backward_fn()
+    t = measure(lambda v: bwd(fwd23(v)), FFT.shard_real(u32))
+    # accuracy via plain roundtrip
+    ub = np.asarray(FFT.ifftn(FFT.fftn(u32)))
+    err = np.abs(ub - u32).max()
+    report("3_slab_r2c_dealiased", FFT, t, err)
+    # 3b. padded variant: fftn(3/2) ∘ ifftn(3/2) on the spectrum
+    fwd32, bwd32 = FFT.forward_fn("3/2-rule"), FFT.backward_fn("3/2-rule")
+    fu0 = FFT.fftn(u32)
+    t32 = measure(lambda f: fwd32(bwd32(f)), fu0)
+    report("3b_slab_r2c_padded32", FFT, t32, err)
+
+    # 4. pencil R2C on a 2D mesh (P1xP2)
+    if ndev >= 4:
+        N = 256 if jax.default_backend() == "tpu" and ndev >= 4 else 64
+        FFT = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single")
+        u32 = rng.standard_normal((N, N, N)).astype(np.float32)
+        fu = FFT.fftn(u32)
+        out = FFT.gather(fu)[..., :FFT.Nf]
+        ref = np.fft.rfftn(u32.astype(np.float64))
+        err = np.abs(out - ref).max() / np.abs(ref).max()
+        fwd, bwd = FFT.forward_fn(), FFT.backward_fn()
+        t = measure(lambda v: bwd(fwd(v)), FFT.shard_real(u32))
+        report("4_pencil_r2c_2dmesh", FFT, t, err)
+
+        # 5. DNS-style transform loop, overlapped transpose/FFT (pipelined)
+        FFTp = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single",
+                          communication="pipelined")
+        fwd, bwd = FFTp.forward_fn("2/3-rule"), FFTp.backward_fn()
+        t = measure(lambda v: bwd(fwd(v)), FFTp.shard_real(u32))
+        report("5_pencil_dns_overlapped", FFTp, t, err)
+
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,8 @@ def main():
     def rt(v):
         return bwd(fwd(v))
 
+    # NOTE: Mosaic supports only DEFAULT and HIGHEST dot precisions.
     for prec_name, prec in [("HIGHEST", lax.Precision.HIGHEST),
-                            ("HIGH", lax.Precision.HIGH),
                             ("DEFAULT", lax.Precision.DEFAULT)]:
         pf._PREC = prec
         for k in (pf._dft_cs, pf._rdft_cs):

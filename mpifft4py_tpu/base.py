@@ -65,8 +65,9 @@ class BaseFFT:
     def __init__(self, N, L, comm=None, precision: str = "single", *,
                  communication: str = "Alltoall", padsize: float = 1.5,
                  threads=None, planner_effort=None, fp64_mode: str = "auto",
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, pipeline_chunks: int = 4):
         del threads, planner_effort  # XLA-owned concerns; accepted for API parity
+        self._nchunks = int(pipeline_chunks)
         self.N = np.array(N, dtype=np.int64)
         self.L = np.array(L, dtype=np.float64)
         assert len(self.N) == self.ndim and len(self.L) == self.ndim

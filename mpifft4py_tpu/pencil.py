@@ -216,12 +216,25 @@ class R2C(BaseFFT):
         if padded:
             x = trunc_half_axis(x, 2, self.Nf)
         x = self._align_pad2(x)                        # (n0, n1, Nfp)
-        x = self._a2a(x, AXIS2, 2, 1)                  # (n0, N1|M1, Nfp/P2)
-        x = fc.fft(x, axis=1)
+        pipelined = self.communication == "pipelined" and not padded
+        if pipelined and self.P2 > 1:
+            # overlap the P2-group transpose with the axis-1 FFT, chunked on
+            # the independent local axis 0 (BASELINE config 5)
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(x, AXIS2, 2, 1, lambda y: fc.fft(y, axis=1),
+                                    pipeline_axis=0, nchunks=self._nchunks)
+        else:
+            x = self._a2a(x, AXIS2, 2, 1)              # (n0, N1|M1, Nfp/P2)
+            x = fc.fft(x, axis=1)
         if padded:
             x = trunc_full_axis(x, 1, int(self.N[1]))
-        x = self._a2a(x, AXIS1, 1, 0)                  # (N0|M0, N1/P1, Nfp/P2)
-        x = fc.fft(x, axis=0)
+        if pipelined and self.P1 > 1:
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(x, AXIS1, 1, 0, lambda y: fc.fft(y, axis=0),
+                                    pipeline_axis=2, nchunks=self._nchunks)
+        else:
+            x = self._a2a(x, AXIS1, 1, 0)              # (N0|M0, N1/P1, Nfp/P2)
+            x = fc.fft(x, axis=0)
         if padded:
             x = trunc_full_axis(x, 0, int(self.N[0]))
             x = x * self.complex.type(1.0 / self.padsize ** 3)
@@ -235,12 +248,25 @@ class R2C(BaseFFT):
             fu = jnp.where(self._dealias_local(), fu, 0)
         if padded:
             fu = pad_full_axis(fu, 0, int(self.M[0]))
-        x = fc.ifft(fu, axis=0)                   # (N0|M0, N1/P1, Nfp/P2)
-        x = self._a2a(x, AXIS1, 0, 1)                  # (n0, N1, Nfp/P2)
+        pipelined = self.communication == "pipelined" and not padded
+        if pipelined and self.P1 > 1:
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(fu, AXIS1, 0, 1, None, pipeline_axis=2,
+                                    nchunks=self._nchunks,
+                                    pre_fn=lambda y: fc.ifft(y, axis=0))
+        else:
+            x = fc.ifft(fu, axis=0)                    # (N0|M0, N1/P1, Nfp/P2)
+            x = self._a2a(x, AXIS1, 0, 1)              # (n0, N1, Nfp/P2)
         if padded:
             x = pad_full_axis(x, 1, int(self.M[1]))
-        x = fc.ifft(x, axis=1)
-        x = self._a2a(x, AXIS2, 1, 2)                  # (n0, n1, Nfp)
+        if pipelined and self.P2 > 1:
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(x, AXIS2, 1, 2, None, pipeline_axis=0,
+                                    nchunks=self._nchunks,
+                                    pre_fn=lambda y: fc.ifft(y, axis=1))
+        else:
+            x = fc.ifft(x, axis=1)
+            x = self._a2a(x, AXIS2, 1, 2)              # (n0, n1, Nfp)
         x = x[..., :self.Nf]
         if padded:
             x = pad_half_axis(x, 2, self.Mf)

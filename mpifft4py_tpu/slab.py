@@ -232,8 +232,16 @@ class _Slab3D(BaseFFT):
             x = trunc_full_axis(x, 0, int(self.N[0]))
             return x * self.complex.type(1.0 / self.padsize ** 3)
         x = self._fft_yz(u)                                   # (Np0, N1, lastf)
-        x = self._a2a_fwd(x) if self.P > 1 else x             # (N0, Np1, lastf)
-        x = fc.fft(x, axis=0)
+        if self.communication == "pipelined" and self.P > 1:
+            # overlap chunk-c transpose with chunk-(c-1) axis-0 FFT along the
+            # independent Hermitian axis (BASELINE config 5)
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(x, AXIS, 1, 0,
+                                    lambda y: fc.fft(y, axis=0),
+                                    pipeline_axis=2, nchunks=self._nchunks)
+        else:
+            x = self._a2a_fwd(x) if self.P > 1 else x         # (N0, Np1, lastf)
+            x = fc.fft(x, axis=0)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -249,8 +257,14 @@ class _Slab3D(BaseFFT):
             x = self._pad_last(x)                             # (Mp0, M1, Mlastf)
             u = self._ifft_yz(x, padded=True)
             return u * self.float.type(self.padsize ** 3)
-        x = fc.ifft(fu, axis=0)
-        x = self._a2a_bwd(x) if self.P > 1 else x             # (Np0, N1, lastf)
+        if self.communication == "pipelined" and self.P > 1:
+            from .parallel.collectives import transpose_pipelined
+            x = transpose_pipelined(fu, AXIS, 0, 1, None, pipeline_axis=2,
+                                    nchunks=self._nchunks,
+                                    pre_fn=lambda y: fc.ifft(y, axis=0))
+        else:
+            x = fc.ifft(fu, axis=0)
+            x = self._a2a_bwd(x) if self.P > 1 else x         # (Np0, N1, lastf)
         return self._ifft_yz(x, padded=False)
 
     # -- double-word (emulated fp64) local pipelines ---------------------------
