@@ -57,7 +57,7 @@ class BaseFFT:
     ``communication`` accepts the reference values ("Alltoall"/"Alltoallw") —
     both map to ICI ``lax.all_to_all`` (XLA fuses the pack/unpack the way
     Alltoallw's derived datatypes did) — plus "pipelined" to enable the
-    chunked transpose/FFT-overlap path (``parallel.pipeline``).
+    chunked transpose/FFT-overlap path (``parallel.collectives``).
     """
 
     ndim: int = 3

@@ -1,0 +1,78 @@
+"""2D incompressible Navier–Stokes in vorticity form — the line.R2C consumer.
+
+Companion to the 3D solver: exercises the 2D transform family (line.R2C,
+driver eval config 2's decomposition) in a real pseudo-spectral time loop.
+
+Vorticity formulation:  ∂ω/∂t + u·∇ω = ν ∇²ω,  u = ∇⊥ψ,  ∇²ψ = −ω.
+Spectral: ψ̂ = ω̂/|k|²;  û = (i k_y ψ̂, −i k_x ψ̂);  nonlinear term dealiased.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class NavierStokes2D:
+    def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule"):
+        self.FFT = FFT
+        self.nu = float(nu)
+        self.dt = float(dt)
+        self.dealias = dealias
+        K = FFT.get_scaled_local_wavenumbermesh()      # (2, N0, Nfp)
+        K2 = jnp.sum(K * K, axis=0)
+        self.K = K
+        self.K2 = K2
+        self.K2_inv = jnp.where(K2 == 0, 0.0, 1.0 / jnp.where(K2 == 0, 1.0, K2))
+        self._fwd = FFT.forward_fn(dealias=dealias)
+        self._bwd = FFT.backward_fn()
+        self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
+        self._step = None
+
+    def vortex_pair(self) -> jax.Array:
+        """Two counter-rotating Gaussian vortices (classic test IC), spectral ω̂."""
+        X = self.FFT.get_local_mesh()
+        def init(X):
+            x, y = X[0], X[1]
+            L = 2 * np.pi
+            w = (jnp.exp(-((x - 0.4 * L) ** 2 + (y - 0.5 * L) ** 2) / 0.05)
+                 - jnp.exp(-((x - 0.6 * L) ** 2 + (y - 0.5 * L) ** 2) / 0.05))
+            return self.FFT.forward_fn()(w)
+        return jax.jit(init)(X)
+
+    def rhs(self, w_hat):
+        K, K2i = self.K, self.K2_inv
+        psi_hat = w_hat * K2i
+        u = self._bwd_nl(1j * K[1] * psi_hat)
+        v = self._bwd_nl(-1j * K[0] * psi_hat)
+        wx = self._bwd_nl(1j * K[0] * w_hat)
+        wy = self._bwd_nl(1j * K[1] * w_hat)
+        adv = self._fwd(u * wx + v * wy)
+        return -adv - self.nu * self.K2 * w_hat
+
+    def step_fn(self):
+        dt = self.dt
+
+        def step(w_hat):
+            k1 = self.rhs(w_hat)
+            k2 = self.rhs(w_hat + 0.5 * dt * k1)
+            k3 = self.rhs(w_hat + 0.5 * dt * k2)
+            k4 = self.rhs(w_hat + dt * k3)
+            return w_hat + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        return step
+
+    def step(self, w_hat):
+        if self._step is None:
+            self._step = jax.jit(self.step_fn())
+        return self._step(w_hat)
+
+    def enstrophy(self, w_hat) -> float:
+        def ens(w_hat):
+            w = self._bwd(w_hat)
+            return 0.5 * jnp.mean(w * w)
+        return float(jax.jit(ens)(w_hat))

@@ -222,7 +222,51 @@ class _Slab3D(BaseFFT):
     def _pad_last(self, x):
         raise NotImplementedError
 
+    # -- Pallas 3D serial fast path (single device, MXU kernels) ---------------
+
+    def _pallas3d_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.float != np.float32:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from .ops import pallas_fft3d as p3
+        dims = self.M if dealias == "3/2-rule" else self.N
+        return (p3.supported_r2c(int(dims[2]))
+                and p3.supported_c2c(int(dims[0]))
+                and p3.supported_c2c(int(dims[1]))
+                and self._lastf != int(self.N[2]))  # R2C only (not C2C)
+
+    def _fwd_serial_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "3/2-rule":
+            x = p3.rfft3d(u)                              # at padded M sizes
+            x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = trunc_full_axis(x, 1, int(self.N[1]))
+            x = trunc_half_axis(x, 2, self._lastf)
+            return x * self.complex.type(1.0 / self.padsize ** 3)
+        x = p3.rfft3d(u)
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_serial_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        if dealias == "3/2-rule":
+            x = pad_full_axis(fu, 0, int(self.M[0]))
+            x = pad_full_axis(x, 1, int(self.M[1]))
+            x = pad_half_axis(x, 2, self._lastf_padded)
+            u = p3.irfft3d(x, tuple(int(m) for m in self.M))
+            return (u * self.float.type(self.padsize ** 3)).astype(self.float)
+        return p3.irfft3d(fu, tuple(int(n) for n in self.N)).astype(self.float)
+
     def _fwd_local(self, u, dealias):
+        if self.P == 1 and self._pallas3d_ok(dealias):
+            return self._fwd_serial_pallas(u, dealias)
         if dealias == "3/2-rule":
             x = self._fft_yz(u)                               # (Mp0, M1, Mf)
             x = trunc_full_axis(x, 1, int(self.N[1]))
@@ -247,6 +291,8 @@ class _Slab3D(BaseFFT):
         return x
 
     def _bwd_local(self, fu, dealias):
+        if self.P == 1 and self._pallas3d_ok(dealias):
+            return self._bwd_serial_pallas(fu, dealias)
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":

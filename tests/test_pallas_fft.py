@@ -1,0 +1,74 @@
+"""Pallas kernel tiers vs numpy (interpret mode on the CPU test backend).
+
+Covers the dense per-axis kernels (ops.pallas_fft) and the planar factored 3D
+pipeline (ops.pallas_fft3d) at power-of-two and 3·2^k (3/2-rule) sizes.
+On-chip accuracy/perf are exercised by benchmarks/pallas_tuning.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mpifft4py_tpu.ops import pallas_fft as pf
+from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_dense_fft_axis(rng, axis):
+    x = (rng.standard_normal((8, 16, 128))
+         + 1j * rng.standard_normal((8, 16, 128))).astype(np.complex64)
+    out = np.asarray(pf.fft_axis(jnp.asarray(x), axis=axis))
+    ref = np.fft.fft(x, axis=axis)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    back = np.asarray(pf.fft_axis(jnp.asarray(out), axis=axis, inverse=True))
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_dense_rfft_irfft_last(rng):
+    x = rng.standard_normal((4, 8, 64)).astype(np.float32)
+    out = np.asarray(pf.rfft_last(jnp.asarray(x)))
+    ref = np.fft.rfft(x, axis=-1)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    back = np.asarray(pf.irfft_last(jnp.asarray(out.astype(np.complex64)), 64))
+    assert np.abs(back - x).max() < 1e-5
+
+
+@pytest.mark.parametrize("n,axis", [(256, 1), (384, 1), (256, 0), (96, 1)])
+def test_factored_planar_axis(rng, n, axis):
+    shape = (2, n, 128) if axis == 1 else (n, 2, 128)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    r, m = p3._factor(n)
+    assert m <= 128 and r * m == n
+    yr, yi = p3.fft_axis_planar(jnp.real(x), jnp.imag(x), axis=axis)
+    out = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=axis)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
+    br, bi = p3.fft_axis_planar(yr, yi, axis=axis, inverse=True)
+    back = np.asarray(br) + 1j * np.asarray(bi)
+    assert np.abs(back - x).max() < 1e-4
+
+
+def test_planar_3d_chain(rng):
+    N = 64
+    u = rng.standard_normal((N, N, N)).astype(np.float32)
+    fu = np.asarray(p3.rfft3d(jnp.asarray(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    assert fu.shape == (N, N, N // 2 + 1)
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(p3.irfft3d(jnp.asarray(fu), (N, N, N)))
+    assert np.abs(ub - u).max() < 2e-5
+
+
+def test_supported_predicates():
+    assert p3.supported_c2c(256) and p3.supported_c2c(384) and p3.supported_c2c(1024)
+    assert not p3.supported_c2c(17 * 128 * 2)   # r too large
+    assert p3.supported_r2c(256) and not p3.supported_r2c(255)
