@@ -206,6 +206,75 @@ class R2C(BaseFFT):
         x = x[:, :self.Nf]
         return fc.irfft(x, n=int(self.N[1]), axis=1).astype(self.float)
 
+    # -- double-word (emulated fp64) local pipelines ------------------------------------
+
+    def _a2a_tree(self, x, split_axis, concat_axis):
+        return jax.tree.map(
+            lambda v: lax.all_to_all(v, AXIS, split_axis=split_axis,
+                                     concat_axis=concat_axis, tiled=True), x)
+
+    def _fwd_local_dd(self, u, dealias):
+        from .ops import dd_fft as df
+        from .ops.doubledouble import DD, dd_where
+        from .utils import spectral_dd as sdd
+
+        padded = dealias == "3/2-rule"
+        x = df.rfft_dd(u, axis=1)
+        if padded:
+            x = sdd.trunc_half_axis_dd(x, 1, self.Nf)
+        if x.shape[1] != self.Nfp:
+            x = x._map(lambda v: jnp.pad(v, [(0, 0), (0, self.Nfp - v.shape[1])]))
+        if self.P > 1:
+            x = self._a2a_tree(x, 1, 0)
+        x = df.fft_dd(x, axis=0)
+        if padded:
+            x = sdd.trunc_full_axis_dd(x, 0, int(self.N[0]))
+            return x * DD.from_f64(np.array(1.0 / self.padsize ** 2))
+        if dealias == "2/3-rule":
+            x = dd_where(self._dealias_local(), x)
+        return x
+
+    def _bwd_local_dd(self, fu, dealias):
+        from .ops import dd_fft as df
+        from .ops.doubledouble import DD, dd_where
+        from .utils import spectral_dd as sdd
+
+        padded = dealias == "3/2-rule"
+        if dealias == "2/3-rule":
+            fu = dd_where(self._dealias_local(), fu)
+        if padded:
+            fu = sdd.pad_full_axis_dd(fu, 0, int(self.M[0]))
+        x = df.ifft_dd(fu, axis=0)
+        if self.P > 1:
+            x = self._a2a_tree(x, 0, 1)
+        x = x[:, :self.Nf]
+        if padded:
+            x = sdd.pad_half_axis_dd(x, 1, self.Mf)
+            u = df.irfft_dd(x, axis=1, n=int(self.M[1]))
+            return u * DD.from_f64(np.array(self.padsize ** 2))
+        return df.irfft_dd(x, axis=1, n=int(self.N[1]))
+
+    def shard_real_dd(self, u):
+        from .ops.doubledouble import DD
+        from jax.sharding import NamedSharding
+        d = DD.from_f64(np.asarray(u, np.float64))
+        sh = NamedSharding(self.mesh, P(AXIS, None))
+        return jax.tree.map(lambda v: jax.device_put(v, sh), d)
+
+    def shard_complex_dd(self, fu):
+        from .ops.doubledouble import DDComplex
+        d = DDComplex.from_c128(np.asarray(fu, np.complex128))
+        sh = self.complex_sharding()
+        return jax.tree.map(lambda v: jax.device_put(v, sh), d)
+
+    def gather_dd(self, x):
+        from .ops.doubledouble import DD, DDComplex
+        if isinstance(x, DDComplex):
+            return x.to_c128()
+        if isinstance(x, DD):
+            return x.to_f64()
+        return self.gather(x)
+
     # -- public transforms -------------------------------------------------------------
 
     def _check_padded(self, dealias):
@@ -214,27 +283,41 @@ class R2C(BaseFFT):
 
     def forward_fn(self, dealias=None):
         self._check_padded(dealias)
+        dd = self.policy.path == "doubleword"
+        local = self._fwd_local_dd if dd else self._fwd_local
         if self.P == 1:
-            return lambda u: self._fwd_local(u, dealias)
-        return self._smap(lambda u: self._fwd_local(u, dealias),
+            return lambda u: local(u, dealias)
+        return self._smap(lambda u: local(u, dealias),
                           in_specs=P(AXIS, None), out_specs=self.complex_spec())
 
     def backward_fn(self, dealias=None):
         self._check_padded(dealias)
+        dd = self.policy.path == "doubleword"
+        local = self._bwd_local_dd if dd else self._bwd_local
         if self.P == 1:
-            return lambda fu: self._bwd_local(fu, dealias)
-        return self._smap(lambda fu: self._bwd_local(fu, dealias),
+            return lambda fu: local(fu, dealias)
+        return self._smap(lambda fu: local(fu, dealias),
                           in_specs=self.complex_spec(), out_specs=P(AXIS, None))
 
     def fft2(self, u, fu=None, dealias=None):
         """Forward 2D transform (reference line.R2C.fft2)."""
-        from jax.sharding import NamedSharding
-        u = self._coerce(u, self.float, NamedSharding(self.mesh, P(AXIS, None)))
+        if self.policy.path == "doubleword":
+            from .ops.doubledouble import DD, DDComplex
+            if not isinstance(u, (DD, DDComplex)):
+                u = self.shard_real_dd(u)
+        else:
+            from jax.sharding import NamedSharding
+            u = self._coerce(u, self.float, NamedSharding(self.mesh, P(AXIS, None)))
         plan = self._plan(("fft2", dealias), lambda: self.forward_fn(dealias))
         return plan(u)
 
     def ifft2(self, fu, u=None, dealias=None):
         """Inverse 2D transform (reference line.R2C.ifft2)."""
-        fu = self._coerce(fu, self.complex, self.complex_sharding())
+        if self.policy.path == "doubleword":
+            from .ops.doubledouble import DD, DDComplex
+            if not isinstance(fu, (DD, DDComplex)):
+                fu = self.shard_complex_dd(fu)
+        else:
+            fu = self._coerce(fu, self.complex, self.complex_sharding())
         plan = self._plan(("ifft2", dealias), lambda: self.backward_fn(dealias))
         return plan(fu)

@@ -302,6 +302,76 @@ def irfft_last_planar(xr, xi, n: int):
 
 
 # ---------------------------------------------------------------------------
+# c2c along the LAST axis (dense, lane contraction) + full c2c 3D chain
+# ---------------------------------------------------------------------------
+
+def _cfft_last_planar_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
+    # out[t, k] = Σ_j x[t, j] W[j, k]
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    wr = wr_ref[...]
+    wi = wi_ref[...]
+    t1 = jnp.dot(xr, wr, preferred_element_type=jnp.float32, precision=_PREC)
+    t2 = jnp.dot(xi, wi, preferred_element_type=jnp.float32, precision=_PREC)
+    t3 = jnp.dot(xr + xi, wr + wi, preferred_element_type=jnp.float32,
+                 precision=_PREC)
+    or_ref[0] = t1 - t2
+    oi_ref[0] = t3 - t1 - t2
+
+
+@lru_cache(maxsize=None)
+def _dense_cs(n: int, sign: int):
+    jk = np.outer(np.arange(n), np.arange(n))
+    ang = sign * 2.0 * np.pi * jk / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def fft_last_planar_c2c(xr, xi, inverse: bool = False):
+    """c2c DFT along the last axis of planar arrays (dense n×n, one pass)."""
+    n = xr.shape[-1]
+    sign = +1 if inverse else -1
+    R = int(np.prod(xr.shape[:-1], dtype=np.int64))
+    wr, wi = _dense_cs(n, sign)
+    tr = _pick_tr(R)
+    fn = pl.pallas_call(
+        _cfft_last_planar_kernel,
+        grid=(R // tr,),
+        in_specs=[
+            pl.BlockSpec((1, tr, n), lambda r: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, n), lambda r: (0, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tr, n), lambda r: (0, r, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, R, n), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(flops=2 * 3 * n * n * R,
+                                      bytes_accessed=4 * R * n * 4,
+                                      transcendentals=0),
+    )
+    yr, yi = fn(xr.reshape(1, R, n), xi.reshape(1, R, n),
+                jnp.asarray(wr), jnp.asarray(wi))
+    if inverse:
+        s = np.float32(1.0 / n)
+        yr, yi = yr * s, yi * s
+    return yr.reshape(xr.shape), yi.reshape(xr.shape)
+
+
+def cfft3d(x, inverse: bool = False) -> jnp.ndarray:
+    """Full 3D c2c transform of a complex64 array (fftn/ifftn conventions)."""
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    yr, yi = fft_last_planar_c2c(xr, xi, inverse)
+    yr, yi = fft_axis_planar(yr, yi, axis=1, inverse=inverse)
+    yr, yi = fft_axis_planar(yr, yi, axis=0, inverse=inverse)
+    return lax.complex(yr, yi)
+
+
+def supported_c2c_last(n: int) -> bool:
+    return 16 <= n <= 1024 and n % 128 == 0
+
+
+# ---------------------------------------------------------------------------
 # Packed-Hermitian r2c / c2r (width exactly n/2 — no Nyquist column)
 # ---------------------------------------------------------------------------
 #

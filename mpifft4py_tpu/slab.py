@@ -553,3 +553,43 @@ class C2C(_Slab3D):
         d = DDComplex.from_c128(np.asarray(u, np.complex128))
         sh = NamedSharding(self.mesh, P(AXIS, None, None))
         return jax.tree.map(lambda v: jax.device_put(v, sh), d)
+
+    # -- Pallas 3D serial fast path (c2c chain) --------------------------------
+
+    def _pallas3d_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.complex != np.complex64:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from .ops import pallas_fft3d as p3
+        dims = self.M if dealias == "3/2-rule" else self.N
+        return (p3.supported_c2c_last(int(dims[2]))
+                and p3.supported_c2c(int(dims[0]))
+                and p3.supported_c2c(int(dims[1])))
+
+    def _fwd_serial_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "3/2-rule":
+            x = p3.cfft3d(u)
+            x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = trunc_full_axis(x, 1, int(self.N[1]))
+            x = trunc_full_axis(x, 2, int(self.N[2]))
+            return x * self.complex.type(1.0 / self.padsize ** 3)
+        x = p3.cfft3d(u)
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_serial_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        if dealias == "3/2-rule":
+            x = pad_full_axis(fu, 0, int(self.M[0]))
+            x = pad_full_axis(x, 1, int(self.M[1]))
+            x = pad_full_axis(x, 2, int(self.M[2]))
+            return p3.cfft3d(x, inverse=True) * self.complex.type(self.padsize ** 3)
+        return p3.cfft3d(fu, inverse=True)

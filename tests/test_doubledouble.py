@@ -102,3 +102,38 @@ def test_slab_c2c_doubleword(rng):
     assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
     ub = FFT.gather_dd(FFT.ifftn(fu))
     assert np.abs(ub - u64).max() < 1e-5
+
+
+@pytest.mark.parametrize("P1", [2])
+def test_pencil_doubleword_roundtrip(rng, P1):
+    from mpifft4py_tpu import pencil
+
+    N = 16
+    FFT = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), 8, "double",
+                     P1=P1, fp64_mode="doubleword")
+    u64 = rng.standard_normal((N, N, N))
+    fu = FFT.fftn(u64)
+    out = FFT.gather_dd(fu)
+    ref = np.fft.rfftn(u64)
+    assert np.abs(out[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 1e-5
+    ub = FFT.gather_dd(FFT.ifftn(fu))
+    assert np.abs(ub - u64).max() < 1e-5
+    # padded roundtrip
+    up = FFT.ifftn(fu, dealias="3/2-rule")
+    fu2 = FFT.gather_dd(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.abs(fu2 - out).max() < 1e-4 * N ** 3
+
+
+def test_line_doubleword_roundtrip(rng):
+    from mpifft4py_tpu import line
+
+    N = 32
+    FFT = line.R2C(np.array([N, N]), np.array([TAU, TAU]), 4, "double",
+                   fp64_mode="doubleword")
+    u64 = rng.standard_normal((N, N))
+    fu = FFT.fft2(u64)
+    out = FFT.gather_dd(fu)
+    ref = np.fft.rfft2(u64)
+    assert np.abs(out[:, :FFT.Nf] - ref).max() / np.abs(ref).max() < 1e-5
+    ub = FFT.gather_dd(FFT.ifft2(fu))
+    assert np.abs(ub - u64).max() < 1e-5

@@ -72,3 +72,13 @@ def test_supported_predicates():
     assert p3.supported_c2c(256) and p3.supported_c2c(384) and p3.supported_c2c(1024)
     assert not p3.supported_c2c(17 * 128 * 2)   # r too large
     assert p3.supported_r2c(256) and not p3.supported_r2c(255)
+
+
+def test_cfft3d_chain(rng):
+    x = (rng.standard_normal((32, 32, 128))
+         + 1j * rng.standard_normal((32, 32, 128))).astype(np.complex64)
+    out = np.asarray(p3.cfft3d(jnp.asarray(x)))
+    ref = np.fft.fftn(x)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6
+    back = np.asarray(p3.cfft3d(jnp.asarray(out), inverse=True))
+    assert np.abs(back - x).max() < 1e-4
