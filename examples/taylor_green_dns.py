@@ -1,0 +1,57 @@
+"""Taylor–Green vortex DNS — the canonical spectralDNS demo, TPU-native.
+
+Runs the 3D pseudo-spectral Navier–Stokes solver on whatever devices are
+visible: one chip (serial Pallas fast path) or a mesh (slab/pencil
+decomposition + ICI all-to-alls).  Usage:
+
+    python examples/taylor_green_dns.py [N] [steps] [slab|pencil]
+
+Prints kinetic energy / dissipation over time; for nu=1/1600-style runs the
+energy history is the standard TG benchmark curve.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    kind = sys.argv[3] if len(sys.argv) > 3 else "slab"
+
+    from mpifft4py_tpu import slab, pencil
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+
+    grid = np.array([N, N, N])
+    L = np.array([2 * np.pi] * 3)
+    ndev = len(jax.devices())
+    if kind == "pencil" and ndev >= 4:
+        FFT = pencil.R2C(grid, L, None, "single")
+        print(f"pencil mesh {dict(FFT.mesh.shape)}")
+    else:
+        FFT = slab.R2C(grid, L, None, "single")
+        print(f"slab mesh P={FFT.P}")
+
+    solver = NavierStokes3D(FFT, nu=1.0 / 1600.0, dt=0.005, dealias="2/3-rule")
+    U_hat = solver.taylor_green()
+    print(f"t=0      E={solver.energy(U_hat):.8f}")
+
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        U_hat = solver.step(U_hat)
+        if i % max(1, steps // 5) == 0:
+            print(f"t={i * solver.dt:<8.3f} E={solver.energy(U_hat):.8f}")
+    wall = time.perf_counter() - t0
+    print(f"{steps} RK4 steps ({steps * 24}+ distributed transforms) "
+          f"in {wall:.2f}s = {wall / steps * 1e3:.1f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

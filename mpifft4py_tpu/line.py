@@ -168,8 +168,69 @@ class R2C(BaseFFT):
         pad = [(0, 0), (0, nfp - x.shape[1])]
         return jnp.pad(x, pad)
 
+    # -- Pallas serial fast path (single device) --------------------------------
+
+    def _pallas2d_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.float != np.float32:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from .ops import pallas_fft3d as p3
+        dims = self.M if dealias == "3/2-rule" else self.N
+        return p3.supported_r2c(int(dims[1])) and p3.supported_c2c(int(dims[0]))
+
+    def _serial_rfft2_pallas(self, u):
+        """rfft2 via MXU kernels; returns complex (N0, Nf) in standard layout."""
+        from .ops import pallas_fft3d as p3
+        n1 = u.shape[1]
+        nf = n1 // 2 + 1
+        if (n1 // 2) % 128 == 0:
+            yr, yi = p3.rfft_last_packed(u)                  # (N0, h)
+            yr, yi = p3.fft_axis_planar(yr, yi, axis=0)
+            p0, pny = p3.unpack_plane0(yr, yi, axes=(0,))    # (N0,) each
+            body = jax.lax.complex(yr, yi)[:, 1:]
+            return jnp.concatenate([p0[:, None], body, pny[:, None]], axis=1)
+        yr, yi = p3.rfft_last_planar(u)                      # (N0, nfp_roundup)
+        yr, yi = p3.fft_axis_planar(yr, yi, axis=0)
+        return jax.lax.complex(yr, yi)[:, :nf]
+
+    def _serial_irfft2_pallas(self, fu, n1: int):
+        """inverse of _serial_rfft2_pallas; fu (N0, Nf) standard complex."""
+        from .ops import pallas_fft3d as p3
+        nf = n1 // 2 + 1
+        if (n1 // 2) % 128 == 0:
+            qr, qi = p3.pack_plane0(fu[:, 0], fu[:, nf - 1])
+            br = jnp.concatenate([qr[:, None],
+                                  jnp.real(fu[:, 1:nf - 1]).astype(jnp.float32)],
+                                 axis=1)
+            bi = jnp.concatenate([qi[:, None],
+                                  jnp.imag(fu[:, 1:nf - 1]).astype(jnp.float32)],
+                                 axis=1)
+            yr, yi = p3.fft_axis_planar(br, bi, axis=0, inverse=True)
+            return p3.irfft_last_packed(yr, yi, n1)
+        from .ops.pallas_fft3d import _round_up
+        nfp = _round_up(nf, 128)
+        fup = jnp.pad(fu, [(0, 0), (0, nfp - fu.shape[1])])
+        yr = jnp.real(fup).astype(jnp.float32)
+        yi = jnp.imag(fup).astype(jnp.float32)
+        yr, yi = p3.fft_axis_planar(yr, yi, axis=0, inverse=True)
+        return p3.irfft_last_planar(yr, yi, n1)
+
     def _fwd_local(self, u, dealias):
         P_ = self.P
+        if P_ == 1 and self._pallas2d_ok(dealias):
+            if dealias == "3/2-rule":
+                x = self._serial_rfft2_pallas(u)            # (M0, Mf)
+                x = trunc_full_axis(x, 0, int(self.N[0]))
+                x = trunc_half_axis(x, 1, self.Nf)
+                return x * self.complex.type(1.0 / self.padsize ** 2)
+            x = self._serial_rfft2_pallas(u)                # (N0, Nf)
+            if dealias == "2/3-rule":
+                x = jnp.where(self._dealias_local(), x, 0)
+            return x
         if dealias == "3/2-rule":
             x = fc.rfft(u, axis=1)                      # (Mp0, Mf)
             x = trunc_half_axis(x, 1, self.Nf)               # (Mp0, Nf)
@@ -189,6 +250,15 @@ class R2C(BaseFFT):
         return x
 
     def _bwd_local(self, fu, dealias):
+        if self.P == 1 and self._pallas2d_ok(dealias):
+            if dealias == "2/3-rule":
+                fu = jnp.where(self._dealias_local(), fu, 0)
+            if dealias == "3/2-rule":
+                x = pad_full_axis(fu, 0, int(self.M[0]))
+                x = pad_half_axis(x, 1, self.Mf)
+                u = self._serial_irfft2_pallas(x, int(self.M[1]))
+                return (u * self.float.type(self.padsize ** 2)).astype(self.float)
+            return self._serial_irfft2_pallas(fu, int(self.N[1])).astype(self.float)
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":

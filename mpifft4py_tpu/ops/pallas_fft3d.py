@@ -132,10 +132,17 @@ def _factored_fft_kernel(n, r, m, sign,
         oi_ref[0, p * m:(p + 1) * m, :] = acci
 
 
-def _pick_tq(n: int, q: int) -> int:
-    budget = 6 * 1024 * 1024
+def _pick_tq(n: int, q: int, r: int, m: int) -> int:
+    """Lane-tile that keeps VMEM residency under budget.
+
+    Live per lane-column (float32 words): 2·(in re,im) + 2·(out) blocks ×2 for
+    Mosaic double-buffering → 16n, plus r sub-FFT results (2·r·m) and matmul
+    temporaries (~4m).  512³ exceeded the 16 MB scoped limit before this
+    accounting existed (r=4 scratch unbudgeted)."""
+    budget = 10 * 1024 * 1024
+    per_tq = (16 * n + 2 * r * m + 4 * m) * 4
     tq = 128
-    while tq * 2 * 4 * n * 4 <= budget and q % (tq * 2) == 0:
+    while per_tq * tq * 2 <= budget and q % (tq * 2) == 0:
         tq *= 2
     return tq if q % tq == 0 else q
 
@@ -155,7 +162,7 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     post = int(np.prod(xr.shape[axis + 1:], dtype=np.int64))
     x3r = xr.reshape(pre, n, post)
     x3i = xi.reshape(pre, n, post)
-    tq = _pick_tq(n, post)
+    tq = _pick_tq(n, post, r, m)
     wr, wi = _dft_cs(m, sign)
     cr, ci = _combine_cs(n, r, m, sign)
     grid = (pre, post // tq)
@@ -475,19 +482,20 @@ def irfft_last_packed(xr, xi, n: int):
     return y.reshape(xr.shape[:-1] + (n,))
 
 
-def _flipconj_2d(qr, qi):
-    """Q(-k) with wraparound on the two leading axes of (N0, N1) planes."""
-    fr = jnp.roll(jnp.flip(qr, axis=(0, 1)), shift=(1, 1), axis=(0, 1))
-    fi = jnp.roll(jnp.flip(qi, axis=(0, 1)), shift=(1, 1), axis=(0, 1))
+def _flipconj(qr, qi, axes):
+    """conj(Q(-k)) with wraparound along ``axes``."""
+    fr = jnp.roll(jnp.flip(qr, axis=axes), shift=(1,) * len(axes), axis=axes)
+    fi = jnp.roll(jnp.flip(qi, axis=axes), shift=(1,) * len(axes), axis=axes)
     return fr, -fi
 
 
-def unpack_plane0(yr, yi):
-    """Split packed plane 0 into the k2=0 and k2=Nyquist standard planes.
+def unpack_plane0(yr, yi, axes=(0, 1)):
+    """Split packed plane 0 into the k=0 and k=Nyquist standard planes.
 
-    Returns (p0, pny) complex64 arrays of shape (N0, N1)."""
+    ``axes`` are the already-transformed full axes (flip-conj dims); returns
+    (p0, pny) complex64 arrays with the last (packed) axis removed."""
     qr, qi = yr[..., 0], yi[..., 0]
-    cr, ci = _flipconj_2d(qr, qi)
+    cr, ci = _flipconj(qr, qi, axes)
     p0 = lax.complex(0.5 * (qr + cr), 0.5 * (qi + ci))
     pny = lax.complex(0.5 * (qi - ci), -0.5 * (qr - cr))   # (Q−conjQ̃)/(2i)
     return p0, pny
