@@ -86,20 +86,14 @@ def _karatsuba(ar, ai, br, bi):
     return t1 - t2, t3 - t1 - t2
 
 
-def _factored_fft_kernel(n, r, m, sign,
-                         xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
-                         or_ref, oi_ref):
-    """Block (1, n, TQ): DIT along the sublane axis.
+def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
+    """Factored DIT over the sublane axis of 2D (n, TQ) VALUES; returns values.
 
     x[q::r] selection = reshape (n, TQ) -> (m, r, TQ)[:, q, :] (sublane split).
     E_q = fft_m(x[q::r]) via W (m, m) complex matmuls contracting sublanes.
     out[k + p·m] = Σ_q phase[p, q, k] · E_q[k].
     """
-    xr = xr_ref[0]
-    xi = xi_ref[0]
     TQ = xr.shape[-1]
-    wr = wr_ref[...]
-    wi = wi_ref[...]
     Er, Ei = [], []
     for q in range(r):
         if r > 1:
@@ -107,29 +101,34 @@ def _factored_fft_kernel(n, r, m, sign,
             si = xi.reshape(m, r, TQ)[:, q, :]
         else:
             sr, si = xr, xi
-        # E_q[k, t] = Σ_j W[k, j] s[j, t]
         er, ei = _karatsuba(wr, wi, sr, si)
         Er.append(er)
         Ei.append(ei)
     if r == 1:
-        or_ref[0] = Er[0]
-        oi_ref[0] = Ei[0]
-        return
+        return Er[0], Ei[0]
+    outs_r, outs_i = [], []
     for p in range(r):
-        accr = None
+        accr = acci = None
         for q in range(r):
             row = (p * r + q) * m
-            cr = cr_ref[row:row + m, :]           # (m, 1) broadcast over TQ
-            ci = ci_ref[row:row + m, :]
+            cr = crv[row:row + m, :]              # (m, 1) broadcast over TQ
+            ci = civ[row:row + m, :]
             tr = cr * Er[q] - ci * Ei[q]
             ti = cr * Ei[q] + ci * Er[q]
-            if accr is None:
-                accr, acci = tr, ti
-            else:
-                accr = accr + tr
-                acci = acci + ti
-        or_ref[0, p * m:(p + 1) * m, :] = accr
-        oi_ref[0, p * m:(p + 1) * m, :] = acci
+            accr = tr if accr is None else accr + tr
+            acci = ti if acci is None else acci + ti
+        outs_r.append(accr)
+        outs_i.append(acci)
+    return jnp.concatenate(outs_r, axis=0), jnp.concatenate(outs_i, axis=0)
+
+
+def _factored_fft_kernel(n, r, m, sign,
+                         xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                         or_ref, oi_ref):
+    yr, yi = _factored_vals(xr_ref[0], xi_ref[0], wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], r, m)
+    or_ref[0] = yr
+    oi_ref[0] = yi
 
 
 def _pick_tq(n: int, q: int, r: int, m: int) -> int:
@@ -233,11 +232,16 @@ def _rfft_kernel(x_ref, cr_ref, ci_ref, or_ref, oi_ref):
                         precision=_PREC)
 
 
-def _pick_tr(R: int) -> int:
+def _pick_tr(R: int, n: int = 256, ncols: int = 256) -> int:
+    """Row tile for the r2c/c2r kernels under the 16 MB scoped-VMEM limit:
+    2×(in + out) double-buffered blocks + the two (n × ncols) constant
+    matrices must fit (1024³ exceeded the limit with a fixed 512 tile)."""
+    budget = 10 * 1024 * 1024 - 2 * n * ncols * 4
+    per_tr = (n + 2 * ncols) * 4 * 2
     for tr in (512, 256, 128):
-        if R % tr == 0:
+        if R % tr == 0 and per_tr * tr <= budget:
             return tr
-    return R
+    return R if per_tr * R <= budget else 128
 
 
 def rfft_last_planar(x):
@@ -251,7 +255,7 @@ def rfft_last_planar(x):
     R = int(np.prod(x.shape[:-1], dtype=np.int64))
     xr = x.astype(jnp.float32).reshape(1, R, n)
     cr, ci = _rdft_cs(n, nfp, nf)
-    tr = _pick_tr(R)
+    tr = _pick_tr(R, n, nfp)
     fn = pl.pallas_call(
         _rfft_kernel,
         grid=(R // tr,),
@@ -286,7 +290,7 @@ def irfft_last_planar(xr, xi, n: int):
     assert nfp >= nf and nfp % 128 == 0, (nfp, nf)
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
     cr, ci = _irdft_cs(n, nfp, nf)
-    tr = _pick_tr(R)
+    tr = _pick_tr(R, n, nfp)
     fn = pl.pallas_call(
         _irfft_kernel,
         grid=(R // tr,),
@@ -339,7 +343,7 @@ def fft_last_planar_c2c(xr, xi, inverse: bool = False):
     sign = +1 if inverse else -1
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
     wr, wi = _dense_cs(n, sign)
-    tr = _pick_tr(R)
+    tr = _pick_tr(R, n, n)
     fn = pl.pallas_call(
         _cfft_last_planar_kernel,
         grid=(R // tr,),
@@ -425,7 +429,7 @@ def rfft_last_packed(x):
     R = int(np.prod(x.shape[:-1], dtype=np.int64))
     xr = x.astype(jnp.float32).reshape(1, R, n)
     A, B = _packed_rdft_cs(n)
-    tr = _pick_tr(R)
+    tr = _pick_tr(R, n, h)
     fn = pl.pallas_call(
         _rfft_kernel,
         grid=(R // tr,),
@@ -460,7 +464,7 @@ def irfft_last_packed(xr, xi, n: int):
     assert xr.shape[-1] == h and h % 128 == 0
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
     C, D = _packed_irdft_cs(n)
-    tr = _pick_tr(R)
+    tr = _pick_tr(R, n, h)
     fn = pl.pallas_call(
         _ipacked_kernel,
         grid=(R // tr,),
@@ -512,19 +516,124 @@ def pack_plane0(p0, pny):
 # 3D chains (serial fast path)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Fused z+y kernels: packed rfft(z) + factored fft(y) in ONE VMEM residency
+# (one HBM pass instead of two per direction).
+# ---------------------------------------------------------------------------
+
+def _fused_zy_fwd_kernel(r, m, x_ref, A_ref, B_ref, wr_ref, wi_ref,
+                         cr_ref, ci_ref, or_ref, oi_ref):
+    u = x_ref[0]                                   # (n1, n2) real x-slab
+    pr = jnp.dot(u, A_ref[...], preferred_element_type=jnp.float32,
+                 precision=_PREC)                  # (n1, h) packed re
+    pi = jnp.dot(u, B_ref[...], preferred_element_type=jnp.float32,
+                 precision=_PREC)
+    yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], r, m)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _fused_zy_bwd_kernel(r, m, xr_ref, xi_ref, wr_ref, wi_ref,
+                         cr_ref, ci_ref, C_ref, D_ref, o_ref):
+    yr, yi = _factored_vals(xr_ref[0], xi_ref[0], wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], r, m)
+    n1 = yr.shape[0]
+    s = np.float32(1.0 / n1)                       # fold the y-ifft 1/n1 here
+    o_ref[0] = (jnp.dot(yr, C_ref[...], preferred_element_type=jnp.float32,
+                        precision=_PREC)
+                + jnp.dot(yi, D_ref[...], preferred_element_type=jnp.float32,
+                          precision=_PREC)) * s
+
+
+def fused_zy_fwd(u):
+    """real (N0, N1, N2) -> packed planar (N0, N1, N2/2) with y already
+    transformed: one kernel, one HBM pass (vs rfft_last + fft_axis)."""
+    N0, N1, N2 = u.shape
+    h = N2 // 2
+    assert h % 128 == 0
+    r, m = _factor(N1)
+    assert r <= 8 and m >= 8
+    A, B = _packed_rdft_cs(N2)
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(N1, r, m, -1)
+    bx = pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((1, N1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_fused_zy_fwd_kernel, r, m),
+        grid=(N0,),
+        in_specs=[bx, c2((N2, h)), c2((N2, h)), c2((m, m)), c2((m, m)),
+                  c2((r * r * m, 1)), c2((r * r * m, 1))],
+        out_specs=[bo, bo],
+        out_shape=[jax.ShapeDtypeStruct((N0, N1, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N0 * N1 * (2 * N2 * h + 3 * m * m * r) // 1,
+            bytes_accessed=(N0 * N1 * N2 + 2 * N0 * N1 * h) * 4,
+            transcendentals=0),
+    )
+    return fn(u.astype(jnp.float32), jnp.asarray(A), jnp.asarray(B),
+              jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+
+
+def fused_zy_bwd(yr, yi, n2: int):
+    """packed planar (N0, N1, n2/2) -> real (N0, N1, n2); inverse y-fft and
+    packed z-irfft fused in one kernel."""
+    N0, N1, h = yr.shape
+    assert h == n2 // 2 and h % 128 == 0
+    r, m = _factor(N1)
+    C, D = _packed_irdft_cs(n2)
+    wr, wi = _dft_cs(m, +1)
+    cr, ci = _combine_cs(N1, r, m, +1)
+    bx = pl.BlockSpec((1, N1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((1, N1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_fused_zy_bwd_kernel, r, m),
+        grid=(N0,),
+        in_specs=[bx, bx, c2((m, m)), c2((m, m)),
+                  c2((r * r * m, 1)), c2((r * r * m, 1)),
+                  c2((h, n2)), c2((h, n2))],
+        out_specs=bo,
+        out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N0 * N1 * (2 * n2 * h + 3 * m * m * r),
+            bytes_accessed=(N0 * N1 * n2 + 2 * N0 * N1 * h) * 4,
+            transcendentals=0),
+    )
+    return fn(yr, yi, jnp.asarray(wr), jnp.asarray(wi),
+              jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(C), jnp.asarray(D))
+
+
+def _use_fused_zy(n1: int, n2: int) -> bool:
+    if (n2 // 2) % 128 != 0:
+        return False
+    r, m = _factor(n1)
+    # VMEM: real block n1·n2 + packed 2·n1·h (+ outs, consts, double-buffer)
+    vmem = (n1 * n2 * 3 * 2 + 2 * n2 * (n2 // 2) + 2 * (n2 // 2) * n2) * 4
+    return r <= 4 and m >= 64 and vmem < 12 * 1024 * 1024
+
+
 def _use_packed(n2: int) -> bool:
     return (n2 // 2) % 128 == 0
 
 
 def rfft3d_packed(u):
     """real (N0,N1,N2) -> packed planar spectral (re, im), shape (N0,N1,N2/2)."""
-    yr, yi = rfft_last_packed(u)
-    yr, yi = fft_axis_planar(yr, yi, axis=1)
+    if _use_fused_zy(u.shape[1], u.shape[2]):
+        yr, yi = fused_zy_fwd(u)                   # z+y in one HBM pass
+    else:
+        yr, yi = rfft_last_packed(u)
+        yr, yi = fft_axis_planar(yr, yi, axis=1)
     return fft_axis_planar(yr, yi, axis=0)
 
 
 def irfft3d_packed(yr, yi, s):
     yr, yi = fft_axis_planar(yr, yi, axis=0, inverse=True)
+    if _use_fused_zy(s[1], s[2]):
+        return fused_zy_bwd(yr, yi, s[2])
     yr, yi = fft_axis_planar(yr, yi, axis=1, inverse=True)
     return irfft_last_packed(yr, yi, s[2])
 

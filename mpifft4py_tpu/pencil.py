@@ -24,9 +24,10 @@ TPU-native mapping:
   shape TPU equivalent is alignment padding to ``Nfp = ceil(Nf/P2)·P2`` with
   structural zero modes k >= Nf (transparent to spectral algebra, removed by
   every dealias mask, sliced off before the final irfft).
-* ``alignment="X"`` (reference kwarg) selects which axis the spectral array is
-  aligned with; "X" (axis 0 local) is implemented — the DNS-relevant default;
-  "Y" raises NotImplementedError for now.
+* ``alignment="X"`` (reference kwarg) selects which axis the spectral array
+  is aligned with.  "X" (axis 0 local, transpose order z→y→x — the reference
+  default): spectral P(None, "p1", "p2").  "Y" (axis 1 local, order z→x→y):
+  spectral P("p2", None, "p1") with the Hermitian axis padded over P1.
 
 Divisibility requirements (hard asserts, reference-parity): P1 | N0, P2 | N1,
 P1 | N1; padded variants additionally need P1 | M0, P2 | M1.
@@ -63,13 +64,14 @@ class R2C(BaseFFT):
 
     def __init__(self, N, L, comm=None, precision: str = "single", *,
                  P1=None, alignment: str = "X", **kw):
-        if alignment not in ("X",):
-            raise NotImplementedError(
-                "alignment='Y' pencil orientation not yet implemented; 'X' is the"
-                " reference default and the DNS-relevant layout")
+        if alignment not in ("X", "Y"):
+            raise ValueError(f"alignment must be 'X' or 'Y', got {alignment!r}")
         self.alignment = alignment
         self._P1_req = P1
         super().__init__(N, L, comm, precision, **kw)
+        if alignment == "Y" and self.policy.path == "doubleword":
+            raise NotImplementedError(
+                "alignment='Y' + doubleword not yet implemented; use 'X'")
 
     def _make_mesh(self, comm):
         return pencil_mesh(comm, P1=self._P1_req)
@@ -90,7 +92,13 @@ class R2C(BaseFFT):
             raise ValueError(f"padsize*N must be integral, got {M}")
         self.M = np.round(M).astype(np.int64)
         self.Nf = int(self.N[2]) // 2 + 1
-        self.Nfp = _cdiv(self.Nf, self.P2) * self.P2
+        # X-aligned shards the Hermitian axis over P2; Y-aligned (mirror
+        # transpose order z→x→y) shards it over P1 and the leading axis over P2.
+        if self.alignment == "Y":
+            check_divisible(self.N[0], self.P2, "pencil Y spectral axis 0 (P2)")
+            self.Nfp = _cdiv(self.Nf, self.P1) * self.P1
+        else:
+            self.Nfp = _cdiv(self.Nf, self.P2) * self.P2
         self.Mf = int(self.M[2]) // 2 + 1
 
     # -- shapes -----------------------------------------------------------------
@@ -99,6 +107,8 @@ class R2C(BaseFFT):
         return (int(self.N[0]) // self.P1, int(self.N[1]) // self.P2, int(self.N[2]))
 
     def complex_shape(self):
+        if self.alignment == "Y":
+            return (int(self.N[0]) // self.P2, int(self.N[1]), self.Nfp // self.P1)
         return (int(self.N[0]), int(self.N[1]) // self.P1, self.Nfp // self.P2)
 
     def global_real_shape(self):
@@ -125,6 +135,11 @@ class R2C(BaseFFT):
 
     def complex_local_slice(self, coords=(0, 0)):
         r1, r2 = coords
+        if self.alignment == "Y":
+            n0 = int(self.N[0]) // self.P2
+            nf = self.Nfp // self.P1
+            return (slice(r2 * n0, (r2 + 1) * n0), slice(0, int(self.N[1])),
+                    slice(r1 * nf, (r1 + 1) * nf))
         n1 = int(self.N[1]) // self.P1
         nf = self.Nfp // self.P2
         return (slice(0, int(self.N[0])), slice(r1 * n1, (r1 + 1) * n1),
@@ -136,17 +151,26 @@ class R2C(BaseFFT):
         return P(AXIS1, AXIS2, None)
 
     def complex_spec(self):
+        if self.alignment == "Y":
+            return P(AXIS2, None, AXIS1)
         return P(None, AXIS1, AXIS2)
 
     # -- wavenumbers / masks ---------------------------------------------------------
 
     def _k_local(self, dtype):
         N0, N1 = int(self.N[0]), int(self.N[1])
-        n1 = N1 // self.P1
-        nf = self.Nfp // self.P2
         multi = self.P > 1
         r1 = lax.axis_index(AXIS1) if multi else 0
         r2 = lax.axis_index(AXIS2) if multi else 0
+        if self.alignment == "Y":
+            n0 = N0 // self.P2
+            nf = self.Nfp // self.P1
+            k0 = local_wavenumber_full(N0, n0, r2, dtype)
+            k1 = local_wavenumber_full(N1, N1, 0, dtype)
+            k2 = (r1 * nf + jnp.arange(nf)).astype(dtype)
+            return k0, k1, k2
+        n1 = N1 // self.P1
+        nf = self.Nfp // self.P2
         k0 = local_wavenumber_full(N0, N0, 0, dtype)
         k1 = local_wavenumber_full(N1, n1, r1, dtype)
         k2 = (r2 * nf + jnp.arange(nf)).astype(dtype)
@@ -161,7 +185,7 @@ class R2C(BaseFFT):
         def build():
             k0, k1, k2 = self._k_local(self.float)
             return jnp.stack(jnp.meshgrid(k0, k1, k2, indexing="ij"))
-        return self._mesh_build(build, P(None, None, AXIS1, AXIS2))
+        return self._mesh_build(build, P(*((None,) + tuple(self.complex_spec()))))
 
     def get_scaled_local_wavenumbermesh(self):
         s = (2 * np.pi / self.L).astype(self.float)
@@ -169,12 +193,12 @@ class R2C(BaseFFT):
             k0, k1, k2 = self._k_local(self.float)
             return jnp.stack(jnp.meshgrid(k0 * s[0], k1 * s[1], k2 * s[2],
                                           indexing="ij"))
-        return self._mesh_build(build, P(None, None, AXIS1, AXIS2))
+        return self._mesh_build(build, P(*((None,) + tuple(self.complex_spec()))))
 
     def get_dealias_filter(self):
         def build():
             return self._dealias_local()
-        return self._mesh_build(build, P(None, AXIS1, AXIS2))
+        return self._mesh_build(build, self.complex_spec())
 
     def _dealias_local(self):
         c = dealias_cutoffs(self.N)
@@ -216,6 +240,21 @@ class R2C(BaseFFT):
         if padded:
             x = trunc_half_axis(x, 2, self.Nf)
         x = self._align_pad2(x)                        # (n0, n1, Nfp)
+        if self.alignment == "Y":
+            # mirror transpose order z→x→y: Hermitian axis over P1, axis 0
+            # over P2 in spectral space
+            x = self._a2a(x, AXIS1, 2, 0)              # (N0|M0, n1, Nfp/P1)
+            x = fc.fft(x, axis=0)
+            if padded:
+                x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = self._a2a(x, AXIS2, 0, 1)              # (N0/P2, N1|M1, Nfp/P1)
+            x = fc.fft(x, axis=1)
+            if padded:
+                x = trunc_full_axis(x, 1, int(self.N[1]))
+                return x * self.complex.type(1.0 / self.padsize ** 3)
+            if dealias == "2/3-rule":
+                x = jnp.where(self._dealias_local(), x, 0)
+            return x
         pipelined = self.communication == "pipelined" and not padded
         if pipelined and self.P2 > 1:
             # overlap the P2-group transpose with the axis-1 FFT, chunked on
@@ -246,6 +285,21 @@ class R2C(BaseFFT):
         padded = dealias == "3/2-rule"
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
+        if self.alignment == "Y":
+            if padded:
+                fu = pad_full_axis(fu, 1, int(self.M[1]))
+            x = fc.ifft(fu, axis=1)
+            x = self._a2a(x, AXIS2, 1, 0)              # (N0, n1|M1/P2, nf1)
+            if padded:
+                x = pad_full_axis(x, 0, int(self.M[0]))
+            x = fc.ifft(x, axis=0)
+            x = self._a2a(x, AXIS1, 0, 2)              # (n0, n1, Nfp)
+            x = x[..., :self.Nf]
+            if padded:
+                x = pad_half_axis(x, 2, self.Mf)
+                u = fc.irfft(x, n=int(self.M[2]), axis=2)
+                return (u * self.float.type(self.padsize ** 3)).astype(self.float)
+            return fc.irfft(x, n=int(self.N[2]), axis=2).astype(self.float)
         if padded:
             fu = pad_full_axis(fu, 0, int(self.M[0]))
         pipelined = self.communication == "pipelined" and not padded

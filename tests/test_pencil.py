@@ -105,3 +105,38 @@ def test_pencil_mesh_factorization():
     m = pencil_mesh(8)
     assert m.shape["p1"] * m.shape["p2"] == 8
     assert m.shape["p1"] == 2  # most square with P1 <= P2
+
+
+@pytest.mark.parametrize("P1", [2, 4])
+@pytest.mark.parametrize("dealias", [None, "2/3-rule", "3/2-rule"])
+def test_pencil_alignment_y(rng, P1, dealias):
+    """Y-aligned pencils (z→x→y transpose order): spectral axis 1 local."""
+    N = 16
+    FFT = make(N, 8, P1=P1, alignment="Y")
+    assert FFT.complex_shape()[1] == N  # axis 1 local
+    u = rng.standard_normal((N, N, N))
+    if dealias == "3/2-rule":
+        fu = np.asarray(FFT.fftn(u))
+        up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+        fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+        assert np.allclose(fu2, fu, atol=1e-10 * N ** 3)
+        return
+    fu = np.asarray(FFT.fftn(u, dealias=dealias))
+    ref = np.fft.rfftn(u)
+    if dealias == "2/3-rule":
+        filt = np.asarray(FFT.get_dealias_filter()).astype(bool)
+        ref = np.where(filt[..., :FFT.Nf], ref, 0)
+    assert np.allclose(fu[..., :FFT.Nf], ref, atol=1e-9)
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    if dealias is None:
+        assert np.allclose(ub, u, atol=1e-12)
+
+
+def test_pencil_y_wavenumbers(rng):
+    N = 16
+    FFT = make(N, 8, P1=2, alignment="Y")
+    K = np.asarray(FFT.get_local_wavenumbermesh())
+    k = np.fft.fftfreq(N, 1 / N)
+    assert np.array_equal(K[0][:, 0, 0], k)
+    assert np.array_equal(K[1][0, :, 0], k)
+    assert np.array_equal(K[2][0, 0, :], np.arange(FFT.Nfp))
