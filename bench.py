@@ -60,8 +60,13 @@ def main():
 
     # Baseline: stock XLA FFT (what a naive JAX port of the reference would do).
     shape = tuple(int(x) for x in N)
-    if ndev == 1:
-        t_base = _timeit(lambda v: jnp.fft.irfftn(jnp.fft.rfftn(v), s=shape), u)
+    if ndev == 1 and not os.environ.get("BENCH_SKIP_BASELINE"):
+        try:
+            t_base = _timeit(lambda v: jnp.fft.irfftn(jnp.fft.rfftn(v), s=shape), u)
+        except Exception as e:  # XLA fft OOMs at 1024^3 where our path fits
+            print(f"# baseline XLA fft failed ({type(e).__name__}); "
+                  f"reporting vs_baseline=0 (baseline unavailable)", file=sys.stderr)
+            t_base = 0.0
     else:
         t_base = t_ours  # multi-dev: no serial baseline on one chip
 
