@@ -1,0 +1,32 @@
+"""Debug-mode and self-validation utilities (SURVEY §5 aux subsystem)."""
+
+import numpy as np
+import pytest
+
+from mpifft4py_tpu import slab, pencil, line
+from mpifft4py_tpu.utils.debug import validate, debug_mode
+
+TAU = 2 * np.pi
+
+
+@pytest.mark.parametrize("make", [
+    lambda: slab.R2C(np.array([16] * 3), np.array([TAU] * 3), 4, "double"),
+    lambda: pencil.R2C(np.array([16] * 3), np.array([TAU] * 3), 8, "double", P1=2),
+    lambda: pencil.R2C(np.array([16] * 3), np.array([TAU] * 3), 8, "double",
+                       P1=2, alignment="Y"),
+    lambda: line.R2C(np.array([32, 32]), np.array([TAU] * 2), 4, "double"),
+])
+def test_validate_all_decompositions(make):
+    rep = validate(make())
+    assert rep["roundtrip"] < 1e-12, rep
+    assert rep["linearity"] < 1e-13, rep
+    assert rep["parseval"] < 1e-6, rep   # f32 accumulation in the check itself
+
+
+def test_debug_mode_traps_nans():
+    import jax
+    import jax.numpy as jnp
+
+    with debug_mode():
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.zeros(4) - 1.0).block_until_ready()
