@@ -46,6 +46,12 @@ def main():
     import jax
     import jax.numpy as jnp
     from mpifft4py_tpu.slab import R2C
+    try:  # FFTW-wisdom analog: persistent compile cache (495s -> 1.4s warm)
+        from mpifft4py_tpu.utils.cache import enable_wisdom_cache
+        enable_wisdom_cache(os.environ.get("MPIFFT4PY_TPU_CACHE",
+                                           "/tmp/mpifft4py_tpu_cache"))
+    except Exception:
+        pass
 
     n = int(os.environ.get("BENCH_N", "256"))
     N = np.array([n, n, n])
