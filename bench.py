@@ -46,10 +46,12 @@ def main():
     import jax
     import jax.numpy as jnp
     from mpifft4py_tpu.slab import R2C
-    try:  # FFTW-wisdom analog: persistent compile cache (495s -> 1.4s warm)
-        from mpifft4py_tpu.utils.cache import enable_wisdom_cache
-        enable_wisdom_cache(os.environ.get("MPIFFT4PY_TPU_CACHE",
-                                           "/tmp/mpifft4py_tpu_cache"))
+    try:  # FFTW-wisdom analog: persistent compile cache (495s -> 1.4s warm).
+        # TPU only — CPU AOT entries embed machine features (SIGILL risk).
+        if jax.default_backend() == "tpu":
+            from mpifft4py_tpu.utils.cache import enable_wisdom_cache
+            enable_wisdom_cache(os.environ.get("MPIFFT4PY_TPU_CACHE",
+                                               "/tmp/mpifft4py_tpu_cache"))
     except Exception:
         pass
 

@@ -30,14 +30,14 @@ from .serialFFT import (  # noqa: F401
 
 
 def empty(shape, dtype=float):
-    """Reference-parity allocation helper (pyfftw-aligned empty → jnp zeros:
+    """Reference-parity allocation helper (pyfftw-aligned empty → device zeros:
     'uninitialised' is meaningless under functional XLA semantics)."""
-    import jax.numpy as jnp
+    from .utils.transfer import zeros as _zeros
 
-    return jnp.zeros(shape, dtype=dtype)
+    return _zeros(tuple(shape), dtype)
 
 
 def zeros(shape, dtype=float):
-    import jax.numpy as jnp
+    from .utils.transfer import zeros as _zeros
 
-    return jnp.zeros(shape, dtype=dtype)
+    return _zeros(tuple(shape), dtype)

@@ -120,11 +120,13 @@ class BaseFFT:
         return to_numpy(x)
 
     def zeros_real(self) -> jax.Array:
-        return jnp.zeros(self.global_real_shape(), self.float, device=self.real_sharding())
+        from .utils.transfer import zeros
+        return zeros(self.global_real_shape(), self.float, self.real_sharding())
 
     def zeros_complex(self) -> jax.Array:
-        return jnp.zeros(self.global_complex_shape(), self.complex,
-                         device=self.complex_sharding())
+        from .utils.transfer import zeros
+        return zeros(self.global_complex_shape(), self.complex,
+                     self.complex_sharding())
 
     # -- plan cache --------------------------------------------------------
 

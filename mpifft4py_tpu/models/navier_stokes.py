@@ -97,16 +97,22 @@ class NavierStokes3D:
         return F_hat - self.nu * K2[None] * U_hat
 
     def step_fn(self):
-        """The jittable RK4 step: U_hat -> U_hat after one dt."""
-        dt = self.dt
-        K, K2, KK = self.K, self.K2, self.K_over_K2
+        """The jittable RK4 step: (U_hat, K, K2, K_over_K2) -> U_hat.
 
-        def step(U_hat):
-            rhs = partial(self.rhs, K=K, K2=K2, K_over_K2=KK)
-            k1 = rhs(U_hat)
-            k2 = rhs(U_hat + 0.5 * dt * k1)
-            k3 = rhs(U_hat + 0.5 * dt * k2)
-            k4 = rhs(U_hat + dt * k3)
+        The wavenumber arrays are explicit ARGUMENTS, not closures: closing
+        over device-resident arrays makes jit inline them as constants, which
+        requires a device->host fetch during lowering — a failure mode on
+        backends with restricted transfers (axon relay) and a waste of HBM
+        (constants get re-uploaded per executable) everywhere else.
+        """
+        dt = self.dt
+        rhs = self.rhs
+
+        def step(U_hat, K, K2, KK):
+            k1 = rhs(U_hat, K, K2, KK)
+            k2 = rhs(U_hat + 0.5 * dt * k1, K, K2, KK)
+            k3 = rhs(U_hat + 0.5 * dt * k2, K, K2, KK)
+            k4 = rhs(U_hat + dt * k3, K, K2, KK)
             return U_hat + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
         return step
@@ -114,17 +120,17 @@ class NavierStokes3D:
     def step(self, U_hat) -> jax.Array:
         if self._step is None:
             self._step = jax.jit(self.step_fn())
-        return self._step(U_hat)
+        return self._step(U_hat, self.K, self.K2, self.K_over_K2)
 
     def run(self, U_hat, n_steps: int) -> jax.Array:
         """n_steps of RK4 under lax.scan (single compiled program)."""
         step = self.step_fn()
 
-        def body(carry, _):
-            return step(carry), None
+        def fn(u0, K, K2, KK):
+            body = lambda c, _: (step(c, K, K2, KK), None)
+            return jax.lax.scan(body, u0, None, length=n_steps)[0]
 
-        fn = jax.jit(lambda u0: jax.lax.scan(body, u0, None, length=n_steps)[0])
-        return fn(U_hat)
+        return jax.jit(fn)(U_hat, self.K, self.K2, self.K_over_K2)
 
     # -- diagnostics --------------------------------------------------------------
 
@@ -134,3 +140,7 @@ class NavierStokes3D:
             U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
             return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
         return float(jax.jit(ke)(U_hat))
+
+    def rhs_with_state(self, U_hat):
+        """Convenience: rhs using the stored wavenumber arrays (eager use)."""
+        return self.rhs(U_hat, self.K, self.K2, self.K_over_K2)

@@ -44,24 +44,26 @@ class NavierStokes2D:
             return self.FFT.forward_fn()(w)
         return jax.jit(init)(X)
 
-    def rhs(self, w_hat):
-        K, K2i = self.K, self.K2_inv
+    def rhs(self, w_hat, K, K2, K2i):
         psi_hat = w_hat * K2i
         u = self._bwd_nl(1j * K[1] * psi_hat)
         v = self._bwd_nl(-1j * K[0] * psi_hat)
         wx = self._bwd_nl(1j * K[0] * w_hat)
         wy = self._bwd_nl(1j * K[1] * w_hat)
         adv = self._fwd(u * wx + v * wy)
-        return -adv - self.nu * self.K2 * w_hat
+        return -adv - self.nu * K2 * w_hat
 
     def step_fn(self):
+        # wavenumber arrays as explicit args, never closure constants
+        # (see NavierStokes3D.step_fn)
         dt = self.dt
+        rhs = self.rhs
 
-        def step(w_hat):
-            k1 = self.rhs(w_hat)
-            k2 = self.rhs(w_hat + 0.5 * dt * k1)
-            k3 = self.rhs(w_hat + 0.5 * dt * k2)
-            k4 = self.rhs(w_hat + dt * k3)
+        def step(w_hat, K, K2, K2i):
+            k1 = rhs(w_hat, K, K2, K2i)
+            k2 = rhs(w_hat + 0.5 * dt * k1, K, K2, K2i)
+            k3 = rhs(w_hat + 0.5 * dt * k2, K, K2, K2i)
+            k4 = rhs(w_hat + dt * k3, K, K2, K2i)
             return w_hat + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
         return step
@@ -69,7 +71,7 @@ class NavierStokes2D:
     def step(self, w_hat):
         if self._step is None:
             self._step = jax.jit(self.step_fn())
-        return self._step(w_hat)
+        return self._step(w_hat, self.K, self.K2, self.K2_inv)
 
     def enstrophy(self, w_hat) -> float:
         def ens(w_hat):

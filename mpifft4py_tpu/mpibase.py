@@ -142,9 +142,9 @@ class work_arrays(dict):
         return super().__getitem__(self._normalize(key))
 
     def __missing__(self, key):
-        import jax.numpy as jnp
+        from .utils.transfer import zeros  # device-created (axon-safe complex)
 
-        a = jnp.zeros(key[0], dtype=key[1])
+        a = zeros(key[0], key[1])
         self[key] = a
         return a
 

@@ -17,7 +17,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["to_numpy", "device_put"]
+__all__ = ["to_numpy", "device_put", "zeros"]
+
+
+def zeros(shape, dtype, sharding=None) -> jax.Array:
+    """Device-created zeros (optionally sharded).
+
+    Eager ``jnp.zeros`` with a complex dtype uploads a host constant — which
+    raises UNIMPLEMENTED on complex-transfer-less backends (axon) and poisons
+    the stream.  Building inside jit lowers to an on-device broadcast instead.
+    """
+    fn = jax.jit(lambda: jnp.zeros(shape, dtype), out_shardings=sharding)
+    return fn()
 
 _COMPLEX_TRANSFER_OK: Dict[str, bool] = {}
 
