@@ -139,6 +139,36 @@ class BaseFFT:
     def _smap(self, fn, in_specs, out_specs):
         return shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
 
+    # -- transpose stage (comm + surrounding local FFT work) -----------------
+
+    def _stage(self, x, axis_name: str, split_axis: int, concat_axis: int,
+               work_fn: Optional[Callable] = None, *, pipeline_axis: int,
+               pre_fn: Optional[Callable] = None,
+               block_chunking: Optional[str] = None):
+        """One transpose stage: ``work_fn(transpose(pre_fn(x)))``.
+
+        Honors ``communication="pipelined"`` by chunking along
+        ``pipeline_axis`` so the chunk-c collective overlaps chunk-(c−1)'s FFT
+        (parallel.collectives.transpose_pipelined) — on EVERY path: plain,
+        2/3-rule, 3/2-rule-padded, native and doubleword (pytree-aware).
+        Degenerate (size-1) mesh axes skip the collective entirely.
+        """
+        if int(self.mesh.shape[axis_name]) == 1:
+            if pre_fn is not None:
+                x = pre_fn(x)
+            return work_fn(x) if work_fn is not None else x
+        from .parallel.collectives import transpose, transpose_pipelined
+        if self.communication == "pipelined":
+            return transpose_pipelined(x, axis_name, split_axis, concat_axis,
+                                       work_fn, pipeline_axis,
+                                       nchunks=self._nchunks, pre_fn=pre_fn,
+                                       block_chunking=block_chunking,
+                                       group_size=int(self.mesh.shape[axis_name]))
+        if pre_fn is not None:
+            x = pre_fn(x)
+        x = transpose(x, axis_name, split_axis, concat_axis)
+        return work_fn(x) if work_fn is not None else x
+
     # -- misc reference-parity helpers --------------------------------------
 
     def get_N(self):

@@ -231,20 +231,21 @@ class R2C(BaseFFT):
             if dealias == "2/3-rule":
                 x = jnp.where(self._dealias_local(), x, 0)
             return x
+        # single transpose; "pipelined" chunks the per-device blocks of the
+        # split axis (no free third axis in 2D — see collectives block_chunking)
         if dealias == "3/2-rule":
             x = fc.rfft(u, axis=1)                      # (Mp0, Mf)
             x = trunc_half_axis(x, 1, self.Nf)               # (Mp0, Nf)
             x = self._align_pad(x, self.Nf, self.Nfp)        # (Mp0, Nfp)
-            if P_ > 1:
-                x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
-            x = fc.fft(x, axis=0)                       # (M0, Nfp/P)
-            x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = self._stage(x, AXIS, 1, 0,                   # (N0, Nfp/P)
+                            lambda y: trunc_full_axis(fc.fft(y, axis=0), 0,
+                                                      int(self.N[0])),
+                            pipeline_axis=1, block_chunking="split")
             return x * self.complex.type(1.0 / self.padsize ** 2)
         x = fc.rfft(u, axis=1)                          # (Np0, Nf)
         x = self._align_pad(x, self.Nf, self.Nfp)
-        if P_ > 1:
-            x = lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
-        x = fc.fft(x, axis=0)                           # (N0, Nfp/P)
+        x = self._stage(x, AXIS, 1, 0, lambda y: fc.fft(y, axis=0),
+                        pipeline_axis=1, block_chunking="split")
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -262,26 +263,21 @@ class R2C(BaseFFT):
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":
-            x = pad_full_axis(fu, 0, int(self.M[0]))         # (M0, Nfp/P)
-            x = fc.ifft(x, axis=0)
-            if self.P > 1:
-                x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
+            x = self._stage(fu, AXIS, 0, 1, pipeline_axis=1,  # (Mp0, Nfp)
+                            block_chunking="concat",
+                            pre_fn=lambda y: fc.ifft(
+                                pad_full_axis(y, 0, int(self.M[0])), axis=0))
             x = x[:, :self.Nf]                               # drop alignment pad
             x = pad_half_axis(x, 1, self.Mf)                 # (Mp0, Mf)
             u = fc.irfft(x, n=int(self.M[1]), axis=1)
             return (u * self.float.type(self.padsize ** 2)).astype(self.float)
-        x = fc.ifft(fu, axis=0)                         # (N0, Nfp/P)
-        if self.P > 1:
-            x = lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
+        x = self._stage(fu, AXIS, 0, 1, pipeline_axis=1,
+                        block_chunking="concat",
+                        pre_fn=lambda y: fc.ifft(y, axis=0))
         x = x[:, :self.Nf]
         return fc.irfft(x, n=int(self.N[1]), axis=1).astype(self.float)
 
     # -- double-word (emulated fp64) local pipelines ------------------------------------
-
-    def _a2a_tree(self, x, split_axis, concat_axis):
-        return jax.tree.map(
-            lambda v: lax.all_to_all(v, AXIS, split_axis=split_axis,
-                                     concat_axis=concat_axis, tiled=True), x)
 
     def _fwd_local_dd(self, u, dealias):
         from .ops import dd_fft as df
@@ -294,11 +290,14 @@ class R2C(BaseFFT):
             x = sdd.trunc_half_axis_dd(x, 1, self.Nf)
         if x.shape[1] != self.Nfp:
             x = x._map(lambda v: jnp.pad(v, [(0, 0), (0, self.Nfp - v.shape[1])]))
-        if self.P > 1:
-            x = self._a2a_tree(x, 1, 0)
-        x = df.fft_dd(x, axis=0)
         if padded:
-            x = sdd.trunc_full_axis_dd(x, 0, int(self.N[0]))
+            work = lambda y: sdd.trunc_full_axis_dd(
+                df.fft_dd(y, axis=0), 0, int(self.N[0]))
+        else:
+            work = lambda y: df.fft_dd(y, axis=0)
+        x = self._stage(x, AXIS, 1, 0, work, pipeline_axis=1,
+                        block_chunking="split")
+        if padded:
             return x * DD.from_f64(np.array(1.0 / self.padsize ** 2))
         if dealias == "2/3-rule":
             x = dd_where(self._dealias_local(), x)
@@ -313,10 +312,12 @@ class R2C(BaseFFT):
         if dealias == "2/3-rule":
             fu = dd_where(self._dealias_local(), fu)
         if padded:
-            fu = sdd.pad_full_axis_dd(fu, 0, int(self.M[0]))
-        x = df.ifft_dd(fu, axis=0)
-        if self.P > 1:
-            x = self._a2a_tree(x, 0, 1)
+            pre = lambda y: df.ifft_dd(
+                sdd.pad_full_axis_dd(y, 0, int(self.M[0])), axis=0)
+        else:
+            pre = lambda y: df.ifft_dd(y, axis=0)
+        x = self._stage(fu, AXIS, 0, 1, pipeline_axis=1,
+                        block_chunking="concat", pre_fn=pre)
         x = x[:, :self.Nf]
         if padded:
             x = sdd.pad_half_axis_dd(x, 1, self.Mf)

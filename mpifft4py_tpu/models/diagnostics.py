@@ -14,10 +14,17 @@ import jax.numpy as jnp
 
 
 def _hermitian_weights(FFT):
-    """Weights over the last (rfft) axis: 1 for k=0 and Nyquist, 2 interior,
-    0 for alignment padding."""
+    """Weights over the last spectral axis.
+
+    r2c (halved) layout: 1 for k=0 and Nyquist, 2 interior, 0 for alignment
+    padding.  c2c (full last axis, e.g. slab.C2C): every mode is stored
+    explicitly, so unit weights — the r2c doubling there would double-count
+    everything and zero the upper half.
+    """
     nfp = FFT.global_complex_shape()[-1]
     n_last = int(FFT.N[-1])
+    if nfp == n_last:  # c2c layout: full last axis, no Hermitian folding
+        return jnp.ones((nfp,), jnp.float32)
     nf = FFT.Nf if hasattr(FFT, "Nf") else n_last // 2 + 1
     k = np.arange(nfp)
     w = np.where((k == 0) | (k == n_last // 2), 1.0, 2.0)

@@ -69,9 +69,6 @@ class R2C(BaseFFT):
         self.alignment = alignment
         self._P1_req = P1
         super().__init__(N, L, comm, precision, **kw)
-        if alignment == "Y" and self.policy.path == "doubleword":
-            raise NotImplementedError(
-                "alignment='Y' + doubleword not yet implemented; use 'X'")
 
     def _make_mesh(self, comm):
         return pencil_mesh(comm, P1=self._P1_req)
@@ -228,99 +225,55 @@ class R2C(BaseFFT):
             return x
         return jnp.pad(x, [(0, 0), (0, 0), (0, self.Nfp - x.shape[2])])
 
-    def _a2a(self, x, axis_name, split_axis, concat_axis):
-        if self.mesh.shape[axis_name] == 1:
-            return x
-        return lax.all_to_all(x, axis_name, split_axis=split_axis,
-                              concat_axis=concat_axis, tiled=True)
-
     def _fwd_local(self, u, dealias):
         padded = dealias == "3/2-rule"
+        N0, N1 = int(self.N[0]), int(self.N[1])
         x = fc.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
         if padded:
             x = trunc_half_axis(x, 2, self.Nf)
         x = self._align_pad2(x)                        # (n0, n1, Nfp)
+
+        def fft_t(axis, n):
+            # local FFT + (padded) truncation folded into the stage work_fn —
+            # under "pipelined" the chunk-c transpose overlaps chunk-(c−1)'s
+            # FFT (BASELINE config 5), on the plain AND 3/2-rule paths.
+            if padded:
+                return lambda y: trunc_full_axis(fc.fft(y, axis=axis), axis, n)
+            return lambda y: fc.fft(y, axis=axis)
+
         if self.alignment == "Y":
             # mirror transpose order z→x→y: Hermitian axis over P1, axis 0
             # over P2 in spectral space
-            x = self._a2a(x, AXIS1, 2, 0)              # (N0|M0, n1, Nfp/P1)
-            x = fc.fft(x, axis=0)
-            if padded:
-                x = trunc_full_axis(x, 0, int(self.N[0]))
-            x = self._a2a(x, AXIS2, 0, 1)              # (N0/P2, N1|M1, Nfp/P1)
-            x = fc.fft(x, axis=1)
-            if padded:
-                x = trunc_full_axis(x, 1, int(self.N[1]))
-                return x * self.complex.type(1.0 / self.padsize ** 3)
-            if dealias == "2/3-rule":
-                x = jnp.where(self._dealias_local(), x, 0)
-            return x
-        pipelined = self.communication == "pipelined" and not padded
-        if pipelined and self.P2 > 1:
-            # overlap the P2-group transpose with the axis-1 FFT, chunked on
-            # the independent local axis 0 (BASELINE config 5)
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(x, AXIS2, 2, 1, lambda y: fc.fft(y, axis=1),
-                                    pipeline_axis=0, nchunks=self._nchunks)
+            x = self._stage(x, AXIS1, 2, 0, fft_t(0, N0), pipeline_axis=1)
+            x = self._stage(x, AXIS2, 0, 1, fft_t(1, N1), pipeline_axis=2)
         else:
-            x = self._a2a(x, AXIS2, 2, 1)              # (n0, N1|M1, Nfp/P2)
-            x = fc.fft(x, axis=1)
+            x = self._stage(x, AXIS2, 2, 1, fft_t(1, N1), pipeline_axis=0)
+            x = self._stage(x, AXIS1, 1, 0, fft_t(0, N0), pipeline_axis=2)
         if padded:
-            x = trunc_full_axis(x, 1, int(self.N[1]))
-        if pipelined and self.P1 > 1:
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(x, AXIS1, 1, 0, lambda y: fc.fft(y, axis=0),
-                                    pipeline_axis=2, nchunks=self._nchunks)
-        else:
-            x = self._a2a(x, AXIS1, 1, 0)              # (N0|M0, N1/P1, Nfp/P2)
-            x = fc.fft(x, axis=0)
-        if padded:
-            x = trunc_full_axis(x, 0, int(self.N[0]))
-            x = x * self.complex.type(1.0 / self.padsize ** 3)
-        elif dealias == "2/3-rule":
+            return x * self.complex.type(1.0 / self.padsize ** 3)
+        if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
 
     def _bwd_local(self, fu, dealias):
         padded = dealias == "3/2-rule"
+        M0, M1 = int(self.M[0]), int(self.M[1])
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
+
+        def ifft_p(axis, m):
+            # (padded) zero-fill + local inverse FFT as the stage pre_fn: under
+            # "pipelined" chunk c's transpose overlaps chunk (c+1)'s FFT.
+            if padded:
+                return lambda y: fc.ifft(pad_full_axis(y, axis, m), axis=axis)
+            return lambda y: fc.ifft(y, axis=axis)
+
         if self.alignment == "Y":
-            if padded:
-                fu = pad_full_axis(fu, 1, int(self.M[1]))
-            x = fc.ifft(fu, axis=1)
-            x = self._a2a(x, AXIS2, 1, 0)              # (N0, n1|M1/P2, nf1)
-            if padded:
-                x = pad_full_axis(x, 0, int(self.M[0]))
-            x = fc.ifft(x, axis=0)
-            x = self._a2a(x, AXIS1, 0, 2)              # (n0, n1, Nfp)
-            x = x[..., :self.Nf]
-            if padded:
-                x = pad_half_axis(x, 2, self.Mf)
-                u = fc.irfft(x, n=int(self.M[2]), axis=2)
-                return (u * self.float.type(self.padsize ** 3)).astype(self.float)
-            return fc.irfft(x, n=int(self.N[2]), axis=2).astype(self.float)
-        if padded:
-            fu = pad_full_axis(fu, 0, int(self.M[0]))
-        pipelined = self.communication == "pipelined" and not padded
-        if pipelined and self.P1 > 1:
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(fu, AXIS1, 0, 1, None, pipeline_axis=2,
-                                    nchunks=self._nchunks,
-                                    pre_fn=lambda y: fc.ifft(y, axis=0))
+            x = self._stage(fu, AXIS2, 1, 0, pipeline_axis=2, pre_fn=ifft_p(1, M1))
+            x = self._stage(x, AXIS1, 0, 2, pipeline_axis=1, pre_fn=ifft_p(0, M0))
         else:
-            x = fc.ifft(fu, axis=0)                    # (N0|M0, N1/P1, Nfp/P2)
-            x = self._a2a(x, AXIS1, 0, 1)              # (n0, N1, Nfp/P2)
-        if padded:
-            x = pad_full_axis(x, 1, int(self.M[1]))
-        if pipelined and self.P2 > 1:
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(x, AXIS2, 1, 2, None, pipeline_axis=0,
-                                    nchunks=self._nchunks,
-                                    pre_fn=lambda y: fc.ifft(y, axis=1))
-        else:
-            x = fc.ifft(x, axis=1)
-            x = self._a2a(x, AXIS2, 1, 2)              # (n0, n1, Nfp)
+            x = self._stage(fu, AXIS1, 0, 1, pipeline_axis=2, pre_fn=ifft_p(0, M0))
+            x = self._stage(x, AXIS2, 1, 2, pipeline_axis=0, pre_fn=ifft_p(1, M1))
         x = x[..., :self.Nf]
         if padded:
             x = pad_half_axis(x, 2, self.Mf)
@@ -331,13 +284,6 @@ class R2C(BaseFFT):
     # -- double-word (emulated fp64) local pipelines ----------------------------------
     # Same choreography over DD/DDComplex float32-pair pytrees (see slab.py for
     # the design notes; TPU-validated <1e-14 relative).
-
-    def _a2a_tree(self, x, axis_name, split_axis, concat_axis):
-        if self.mesh.shape[axis_name] == 1:
-            return x
-        return jax.tree.map(
-            lambda v: lax.all_to_all(v, axis_name, split_axis=split_axis,
-                                     concat_axis=concat_axis, tiled=True), x)
 
     def _align_pad2_dd(self, x):
         if x.shape[2] == self.Nfp:
@@ -351,18 +297,25 @@ class R2C(BaseFFT):
         from .utils import spectral_dd as sdd
 
         padded = dealias == "3/2-rule"
+        N0, N1 = int(self.N[0]), int(self.N[1])
         x = df.rfft_dd(u, axis=2)
         if padded:
             x = sdd.trunc_half_axis_dd(x, 2, self.Nf)
         x = self._align_pad2_dd(x)
-        x = self._a2a_tree(x, AXIS2, 2, 1)
-        x = df.fft_dd(x, axis=1)
+
+        def fft_t(axis, n):
+            if padded:
+                return lambda y: sdd.trunc_full_axis_dd(
+                    df.fft_dd(y, axis=axis), axis, n)
+            return lambda y: df.fft_dd(y, axis=axis)
+
+        if self.alignment == "Y":
+            x = self._stage(x, AXIS1, 2, 0, fft_t(0, N0), pipeline_axis=1)
+            x = self._stage(x, AXIS2, 0, 1, fft_t(1, N1), pipeline_axis=2)
+        else:
+            x = self._stage(x, AXIS2, 2, 1, fft_t(1, N1), pipeline_axis=0)
+            x = self._stage(x, AXIS1, 1, 0, fft_t(0, N0), pipeline_axis=2)
         if padded:
-            x = sdd.trunc_full_axis_dd(x, 1, int(self.N[1]))
-        x = self._a2a_tree(x, AXIS1, 1, 0)
-        x = df.fft_dd(x, axis=0)
-        if padded:
-            x = sdd.trunc_full_axis_dd(x, 0, int(self.N[0]))
             return x * DD.from_f64(np.array(1.0 / self.padsize ** 3))
         if dealias == "2/3-rule":
             x = dd_where(self._dealias_local(), x)
@@ -374,16 +327,22 @@ class R2C(BaseFFT):
         from .utils import spectral_dd as sdd
 
         padded = dealias == "3/2-rule"
+        M0, M1 = int(self.M[0]), int(self.M[1])
         if dealias == "2/3-rule":
             fu = dd_where(self._dealias_local(), fu)
-        if padded:
-            fu = sdd.pad_full_axis_dd(fu, 0, int(self.M[0]))
-        x = df.ifft_dd(fu, axis=0)
-        x = self._a2a_tree(x, AXIS1, 0, 1)
-        if padded:
-            x = sdd.pad_full_axis_dd(x, 1, int(self.M[1]))
-        x = df.ifft_dd(x, axis=1)
-        x = self._a2a_tree(x, AXIS2, 1, 2)
+
+        def ifft_p(axis, m):
+            if padded:
+                return lambda y: df.ifft_dd(
+                    sdd.pad_full_axis_dd(y, axis, m), axis=axis)
+            return lambda y: df.ifft_dd(y, axis=axis)
+
+        if self.alignment == "Y":
+            x = self._stage(fu, AXIS2, 1, 0, pipeline_axis=2, pre_fn=ifft_p(1, M1))
+            x = self._stage(x, AXIS1, 0, 2, pipeline_axis=1, pre_fn=ifft_p(0, M0))
+        else:
+            x = self._stage(fu, AXIS1, 0, 1, pipeline_axis=2, pre_fn=ifft_p(0, M0))
+            x = self._stage(x, AXIS2, 1, 2, pipeline_axis=0, pre_fn=ifft_p(1, M1))
         x = x[..., :self.Nf]
         if padded:
             x = sdd.pad_half_axis_dd(x, 2, self.Mf)

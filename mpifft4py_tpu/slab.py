@@ -203,12 +203,6 @@ class _Slab3D(BaseFFT):
 
     # -- local pipelines (run per-shard inside shard_map) ----------------------
 
-    def _a2a_fwd(self, x):
-        return lax.all_to_all(x, AXIS, split_axis=1, concat_axis=0, tiled=True)
-
-    def _a2a_bwd(self, x):
-        return lax.all_to_all(x, AXIS, split_axis=0, concat_axis=1, tiled=True)
-
     # subclass hooks: last-axis-aware local stages
     def _fft_yz(self, u):
         raise NotImplementedError
@@ -265,27 +259,23 @@ class _Slab3D(BaseFFT):
         return p3.irfft3d(fu, tuple(int(n) for n in self.N)).astype(self.float)
 
     def _fwd_local(self, u, dealias):
+        # The single transpose overlaps the axis-0 FFT when
+        # communication="pipelined", chunked on the independent Hermitian axis
+        # (BASELINE config 5) — on the plain AND the 3/2-rule padded path.
         if self.P == 1 and self._pallas3d_ok(dealias):
             return self._fwd_serial_pallas(u, dealias)
         if dealias == "3/2-rule":
             x = self._fft_yz(u)                               # (Mp0, M1, Mf)
             x = trunc_full_axis(x, 1, int(self.N[1]))
             x = self._trunc_last(x)                           # (Mp0, N1, lastf)
-            x = self._a2a_fwd(x) if self.P > 1 else x         # (M0, Np1, lastf)
-            x = fc.fft(x, axis=0)
-            x = trunc_full_axis(x, 0, int(self.N[0]))
+            x = self._stage(x, AXIS, 1, 0,                    # (N0, Np1, lastf)
+                            lambda y: trunc_full_axis(fc.fft(y, axis=0), 0,
+                                                      int(self.N[0])),
+                            pipeline_axis=2)
             return x * self.complex.type(1.0 / self.padsize ** 3)
         x = self._fft_yz(u)                                   # (Np0, N1, lastf)
-        if self.communication == "pipelined" and self.P > 1:
-            # overlap chunk-c transpose with chunk-(c-1) axis-0 FFT along the
-            # independent Hermitian axis (BASELINE config 5)
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(x, AXIS, 1, 0,
-                                    lambda y: fc.fft(y, axis=0),
-                                    pipeline_axis=2, nchunks=self._nchunks)
-        else:
-            x = self._a2a_fwd(x) if self.P > 1 else x         # (N0, Np1, lastf)
-            x = fc.fft(x, axis=0)
+        x = self._stage(x, AXIS, 1, 0, lambda y: fc.fft(y, axis=0),
+                        pipeline_axis=2)                      # (N0, Np1, lastf)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -296,21 +286,15 @@ class _Slab3D(BaseFFT):
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":
-            x = pad_full_axis(fu, 0, int(self.M[0]))          # (M0, Np1, lastf)
-            x = fc.ifft(x, axis=0)
-            x = self._a2a_bwd(x) if self.P > 1 else x         # (Mp0, N1, lastf)
+            x = self._stage(fu, AXIS, 0, 1, pipeline_axis=2,  # (Mp0, N1, lastf)
+                            pre_fn=lambda y: fc.ifft(
+                                pad_full_axis(y, 0, int(self.M[0])), axis=0))
             x = pad_full_axis(x, 1, int(self.M[1]))
             x = self._pad_last(x)                             # (Mp0, M1, Mlastf)
             u = self._ifft_yz(x, padded=True)
             return u * self.float.type(self.padsize ** 3)
-        if self.communication == "pipelined" and self.P > 1:
-            from .parallel.collectives import transpose_pipelined
-            x = transpose_pipelined(fu, AXIS, 0, 1, None, pipeline_axis=2,
-                                    nchunks=self._nchunks,
-                                    pre_fn=lambda y: fc.ifft(y, axis=0))
-        else:
-            x = fc.ifft(fu, axis=0)
-            x = self._a2a_bwd(x) if self.P > 1 else x         # (Np0, N1, lastf)
+        x = self._stage(fu, AXIS, 0, 1, pipeline_axis=2,
+                        pre_fn=lambda y: fc.ifft(y, axis=0))
         return self._ifft_yz(x, padded=False)
 
     # -- double-word (emulated fp64) local pipelines ---------------------------
@@ -323,11 +307,6 @@ class _Slab3D(BaseFFT):
     # the CPU backend, XLA's fusion-level FMA contraction degrades dd jit
     # accuracy to ~1e-7 — CPU "double" uses native f64 instead (policy "auto").
 
-    def _a2a_tree(self, x, split_axis, concat_axis):
-        return jax.tree.map(
-            lambda v: lax.all_to_all(v, AXIS, split_axis=split_axis,
-                                     concat_axis=concat_axis, tiled=True), x)
-
     def _fwd_local_dd(self, u, dealias):
         from .ops import dd_fft as df
         from .ops.doubledouble import DD, dd_where
@@ -337,14 +316,15 @@ class _Slab3D(BaseFFT):
             x = self._fft_yz_dd(u)                              # (Mp0, M1, Mf')
             x = sdd.trunc_full_axis_dd(x, 1, int(self.N[1]))
             x = self._trunc_last_dd(x)
-            x = self._a2a_tree(x, 1, 0) if self.P > 1 else x
-            x = df.fft_dd(x, axis=0)
-            x = sdd.trunc_full_axis_dd(x, 0, int(self.N[0]))
+            x = self._stage(x, AXIS, 1, 0,
+                            lambda y: sdd.trunc_full_axis_dd(
+                                df.fft_dd(y, axis=0), 0, int(self.N[0])),
+                            pipeline_axis=2)
             s = DD.from_f64(np.array(1.0 / self.padsize ** 3))
             return x * s
         x = self._fft_yz_dd(u)
-        x = self._a2a_tree(x, 1, 0) if self.P > 1 else x
-        x = df.fft_dd(x, axis=0)
+        x = self._stage(x, AXIS, 1, 0, lambda y: df.fft_dd(y, axis=0),
+                        pipeline_axis=2)
         if dealias == "2/3-rule":
             x = dd_where(self._dealias_local(), x)
         return x
@@ -357,16 +337,17 @@ class _Slab3D(BaseFFT):
         if dealias == "2/3-rule":
             fu = dd_where(self._dealias_local(), fu)
         if dealias == "3/2-rule":
-            x = sdd.pad_full_axis_dd(fu, 0, int(self.M[0]))
-            x = df.ifft_dd(x, axis=0)
-            x = self._a2a_tree(x, 0, 1) if self.P > 1 else x
+            x = self._stage(fu, AXIS, 0, 1, pipeline_axis=2,
+                            pre_fn=lambda y: df.ifft_dd(
+                                sdd.pad_full_axis_dd(y, 0, int(self.M[0])),
+                                axis=0))
             x = sdd.pad_full_axis_dd(x, 1, int(self.M[1]))
             x = self._pad_last_dd(x)
             u = self._ifft_yz_dd(x, padded=True)
             s = DD.from_f64(np.array(self.padsize ** 3))
             return u * s
-        x = df.ifft_dd(fu, axis=0)
-        x = self._a2a_tree(x, 0, 1) if self.P > 1 else x
+        x = self._stage(fu, AXIS, 0, 1, pipeline_axis=2,
+                        pre_fn=lambda y: df.ifft_dd(y, axis=0))
         return self._ifft_yz_dd(x, padded=False)
 
     # -- public transforms ------------------------------------------------------

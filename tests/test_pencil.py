@@ -23,12 +23,42 @@ def test_pencil_vs_numpy(rng, P1, precision):
     u = rng.standard_normal((N, N, N)).astype(FFT.float)
     fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
     ref = np.fft.rfftn(u.astype(np.float64))
-    tol = 2e-4 if precision == "single" else 1e-11
+    # relative oracle check (a silent DEFAULT-precision matmul would fail this)
+    rtol = 1e-6 if precision == "single" else 1e-12
     assert fu.shape == FFT.global_complex_shape()
-    assert np.allclose(fu[..., :FFT.Nf], ref, atol=tol * N ** 3)
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < rtol
     assert np.all(fu[..., FFT.Nf:] == 0)  # alignment-pad modes are structural zeros
-    ub = FFT.ifftn(fu)
-    assert np.allclose(np.asarray(ub), u, atol=tol)
+    ub = np.asarray(FFT.ifftn(fu))
+    assert np.abs(ub - u).max() / np.abs(u).max() < rtol
+
+
+@pytest.mark.parametrize("alignment", ["X", "Y"])
+@pytest.mark.parametrize("precision", ["single", "double"])
+@pytest.mark.parametrize("communication", ["Alltoall", "pipelined"])
+def test_pencil_matrix(rng, alignment, precision, communication):
+    """The full option matrix — every cell must work, no silent fallbacks
+    (VERDICT r1 items 3/4): alignment x precision x communication, plain,
+    2/3-rule, and 3/2-rule."""
+    N = 16
+    FFT = make(N, 8, P1=2, precision=precision, alignment=alignment,
+               communication=communication, pipeline_chunks=3)
+    rtol = 1e-6 if precision == "single" else 1e-12
+    u = rng.standard_normal((N, N, N)).astype(FFT.float)
+    ref = np.fft.rfftn(u.astype(np.float64))
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < rtol
+    ub = np.asarray(FFT.ifftn(fu))
+    assert np.abs(ub - u).max() / np.abs(u).max() < rtol
+    # 3/2-rule padded round trip (the dealiased DNS path, BASELINE config 5)
+    up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+    assert up.shape == FFT.global_real_shape_padded()
+    fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.abs(fu2 - fu).max() / np.abs(fu).max() < rtol
+    # 2/3-rule mask
+    fu23 = np.asarray(FFT.fftn(FFT.shard_real(u), dealias="2/3-rule"))
+    filt = np.asarray(FFT.get_dealias_filter()).astype(bool)
+    refm = np.where(filt[..., :FFT.Nf], ref, 0)
+    assert np.abs(fu23[..., :FFT.Nf] - refm).max() / np.abs(ref).max() < rtol
 
 
 def test_pencil_256_smoke_2x4(rng):
