@@ -2,8 +2,11 @@
 
 Run on TPU:  PYTHONPATH=... python benchmarks/driver_configs.py
 Run on CPU mesh: JAX_PLATFORMS=cpu python benchmarks/driver_configs.py --cpu8
+CI smoke:    python benchmarks/driver_configs.py --cpu8 --smoke
 
-Prints one JSON line per config: time, accuracy, transpose GB/s/chip.
+Prints one JSON line per config: time, accuracy, transpose GB/s/chip; with
+``--out FILE`` also writes the summary JSON there (recorded sweeps live in
+benchmarks/results/).
 """
 
 import json
@@ -20,6 +23,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
+    smoke = "--smoke" in sys.argv
     import jax
     from mpifft4py_tpu import slab, line, pencil
     from mpifft4py_tpu.utils.profiling import measure, transpose_stats
@@ -51,7 +55,7 @@ def main():
         ub = np.asarray(FFT.ifftn(fu))
     ref = np.fft.rfftn(u)
     err = max(np.abs(out - ref).max() / np.abs(ref).max(),
-              np.abs(ub - u).max())
+              np.abs(ub - u).max() / np.abs(u).max())
     fwd, bwd = FFT.forward_fn(), FFT.backward_fn()
     t = measure(lambda v: bwd(fwd(v)),
                 FFT.shard_real_dd(u) if FFT.policy.path == "doubleword"
@@ -59,7 +63,7 @@ def main():
     report("1_slab_r2c_64cubed_double", FFT, t, err)
 
     # 2. line R2C 512^2
-    N = 512
+    N = 128 if smoke else 512
     FFT = line.R2C(np.array([N, N]), np.array([TAU, TAU]), None, "single")
     u32 = rng.standard_normal((N, N)).astype(np.float32)
     fu = FFT.fft2(u32)
@@ -71,15 +75,15 @@ def main():
     report("2_line_r2c_512sq", FFT, t, err)
 
     # 3. slab R2C 256^3 with dealiased (2/3-rule and 3/2-rule) transforms
-    N = 256 if jax.default_backend() == "tpu" else 64
+    N = 32 if smoke else (256 if jax.default_backend() == "tpu" else 64)
     FFT = slab.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single")
     u32 = rng.standard_normal((N, N, N)).astype(np.float32)
     fwd23 = FFT.forward_fn("2/3-rule")
     bwd = FFT.backward_fn()
     t = measure(lambda v: bwd(fwd23(v)), FFT.shard_real(u32))
-    # accuracy via plain roundtrip
+    # accuracy via plain roundtrip (relative — the driver's units)
     ub = np.asarray(FFT.ifftn(FFT.fftn(u32)))
-    err = np.abs(ub - u32).max()
+    err = np.abs(ub - u32).max() / np.abs(u32).max()
     report("3_slab_r2c_dealiased", FFT, t, err)
     # 3b. padded variant: fftn(3/2) ∘ ifftn(3/2) on the spectrum
     fwd32, bwd32 = FFT.forward_fn("3/2-rule"), FFT.backward_fn("3/2-rule")
@@ -89,7 +93,7 @@ def main():
 
     # 4. pencil R2C on a 2D mesh (P1xP2)
     if ndev >= 4:
-        N = 256 if jax.default_backend() == "tpu" and ndev >= 4 else 64
+        N = 32 if smoke else (256 if jax.default_backend() == "tpu" else 64)
         FFT = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single")
         u32 = rng.standard_normal((N, N, N)).astype(np.float32)
         fu = FFT.fftn(u32)
@@ -100,14 +104,23 @@ def main():
         t = measure(lambda v: bwd(fwd(v)), FFT.shard_real(u32))
         report("4_pencil_r2c_2dmesh", FFT, t, err)
 
-        # 5. DNS-style transform loop, overlapped transpose/FFT (pipelined)
+        # 5. DNS-style dealiased transform loop, overlapped transpose/FFT:
+        # 3/2-rule padded inverse+forward with pipelined collectives (the
+        # BASELINE config-5 shape: spectrum -> padded physical -> spectrum)
         FFTp = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), None, "single",
                           communication="pipelined")
-        fwd, bwd = FFTp.forward_fn("2/3-rule"), FFTp.backward_fn()
-        t = measure(lambda v: bwd(fwd(v)), FFTp.shard_real(u32))
-        report("5_pencil_dns_overlapped", FFTp, t, err)
+        fwd32, bwd32 = FFTp.forward_fn("3/2-rule"), FFTp.backward_fn("3/2-rule")
+        fu0 = FFTp.shard_complex(FFT.gather(fu))
+        t = measure(lambda f: fwd32(bwd32(f)), fu0)
+        report("5_pencil_dns_overlapped_padded", FFTp, t, err)
 
     print(json.dumps({"summary": results}))
+    if "--out" in sys.argv:
+        path = sys.argv[sys.argv.index("--out") + 1]
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"backend": jax.default_backend(), "devices": ndev,
+                       "smoke": smoke, "results": results}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -137,7 +137,10 @@ class BaseFFT:
         return fn
 
     def _smap(self, fn, in_specs, out_specs):
-        return shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: pallas_call results inside shard_map carry no
+        # varying-mesh-axes metadata (the distributed MXU local stages)
+        return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
 
     # -- transpose stage (comm + surrounding local FFT work) -----------------
 
@@ -168,6 +171,30 @@ class BaseFFT:
             x = pre_fn(x)
         x = transpose(x, axis_name, split_axis, concat_axis)
         return work_fn(x) if work_fn is not None else x
+
+    # -- batched multi-component transforms (consumer convenience) -----------
+
+    def forward_fields_fn(self, dealias=None) -> Callable:
+        """Forward transform of a stack of fields: (C,) + work_shape ->
+        (C,) + complex_shape.  The DNS consumer transforms 3-component
+        velocity/vorticity stacks; subclasses with batched kernels (slab
+        serial MXU path) override this to run the whole stack through ONE
+        kernel chain.  Default: per-component loop, pytree-stacked (works for
+        native and doubleword fields)."""
+        f = self.forward_fn(dealias)
+
+        def batched(U):
+            outs = [f(U[i]) for i in range(U.shape[0])]
+            return jax.tree.map(lambda *vs: jnp.stack(vs), *outs)
+        return batched
+
+    def backward_fields_fn(self, dealias=None) -> Callable:
+        f = self.backward_fn(dealias)
+
+        def batched(FU):
+            outs = [f(FU[i]) for i in range(FU.shape[0])]
+            return jax.tree.map(lambda *vs: jnp.stack(vs), *outs)
+        return batched
 
     # -- misc reference-parity helpers --------------------------------------
 

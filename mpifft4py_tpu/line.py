@@ -35,7 +35,7 @@ from .parallel.mesh import AXIS, slab_mesh, check_divisible
 from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
-    dealias_cutoffs,
+    dealias_cutoffs, flip_conj_plane,
 )
 
 __all__ = ["R2C"]
@@ -226,6 +226,7 @@ class R2C(BaseFFT):
                 x = self._serial_rfft2_pallas(u)            # (M0, Mf)
                 x = trunc_full_axis(x, 0, int(self.N[0]))
                 x = trunc_half_axis(x, 1, self.Nf)
+                x = self._sym_nyq(x)
                 return x * self.complex.type(1.0 / self.padsize ** 2)
             x = self._serial_rfft2_pallas(u)                # (N0, Nf)
             if dealias == "2/3-rule":
@@ -241,6 +242,7 @@ class R2C(BaseFFT):
                             lambda y: trunc_full_axis(fc.fft(y, axis=0), 0,
                                                       int(self.N[0])),
                             pipeline_axis=1, block_chunking="split")
+            x = self._sym_nyq(x)
             return x * self.complex.type(1.0 / self.padsize ** 2)
         x = fc.rfft(u, axis=1)                          # (Np0, Nf)
         x = self._align_pad(x, self.Nf, self.Nfp)
@@ -249,6 +251,19 @@ class R2C(BaseFFT):
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
+
+    def _sym_nyq(self, x):
+        """Hermitian-symmetrize the y-Nyquist column of a padded forward:
+        trunc_half_axis doubles it, the exact alias sum is q + conj(q(−k0))
+        (see utils.spectral.trunc_half_axis).  The column lives on one rank
+        of the sharded Hermitian axis; the flip is over the local full axis 0."""
+        chunk = self.Nfp // self.P
+        rank_ny, off = divmod(self.Nf - 1, chunk)
+        q = x[:, off]                                    # (N0,)
+        sym = 0.5 * (q + flip_conj_plane(q, (0,)))
+        if self.P > 1:
+            sym = jnp.where(lax.axis_index(AXIS) == rank_ny, sym, q)
+        return x.at[:, off].set(sym)
 
     def _bwd_local(self, fu, dealias):
         if self.P == 1 and self._pallas2d_ok(dealias):
@@ -298,10 +313,22 @@ class R2C(BaseFFT):
         x = self._stage(x, AXIS, 1, 0, work, pipeline_axis=1,
                         block_chunking="split")
         if padded:
+            x = self._sym_nyq_dd(x)
             return x * DD.from_f64(np.array(1.0 / self.padsize ** 2))
         if dealias == "2/3-rule":
             x = dd_where(self._dealias_local(), x)
         return x
+
+    def _sym_nyq_dd(self, x):
+        """Doubleword variant of _sym_nyq (1D flip on the local full axis)."""
+        from .utils import spectral_dd as sdd
+        chunk = self.Nfp // self.P
+        rank_ny, off = divmod(self.Nf - 1, chunk)
+        q = x[:, off]
+        f = sdd.flip_conj_plane_dd(q, (0,))
+        sym = (q + f)._map(lambda v: v * jnp.float32(0.5))
+        cond = (lax.axis_index(AXIS) == rank_ny) if self.P > 1 else None
+        return sdd.sym_select_set_dd(x, off, sym, cond)
 
     def _bwd_local_dd(self, fu, dealias):
         from .ops import dd_fft as df

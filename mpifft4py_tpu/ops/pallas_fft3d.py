@@ -137,8 +137,10 @@ def _pick_tq(n: int, q: int, r: int, m: int) -> int:
     Live per lane-column (float32 words): 2·(in re,im) + 2·(out) blocks ×2 for
     Mosaic double-buffering → 16n, plus r sub-FFT results (2·r·m) and matmul
     temporaries (~4m).  512³ exceeded the 16 MB scoped limit before this
-    accounting existed (r=4 scratch unbudgeted)."""
-    budget = 10 * 1024 * 1024
+    accounting existed (r=4 scratch unbudgeted).  12 MB budget: lets n=256
+    take tq=256 (measured 3% faster than 128; 10.5 MB estimated residency,
+    verified on-chip) while 512/1024 stay at 128."""
+    budget = 12 * 1024 * 1024
     per_tq = (16 * n + 2 * r * m + 4 * m) * 4
     tq = 128
     while per_tq * tq * 2 <= budget and q % (tq * 2) == 0:
@@ -547,8 +549,11 @@ def _fused_zy_bwd_kernel(r, m, xr_ref, xi_ref, wr_ref, wi_ref,
 
 
 def fused_zy_fwd(u):
-    """real (N0, N1, N2) -> packed planar (N0, N1, N2/2) with y already
-    transformed: one kernel, one HBM pass (vs rfft_last + fft_axis)."""
+    """real (…, N1, N2) -> packed planar (…, N1, N2/2) with y already
+    transformed: one kernel, one HBM pass (vs rfft_last + fft_axis).
+    Leading dims (x-slab rows, field components) batch into the grid."""
+    shp = u.shape
+    u = u.reshape((-1,) + shp[-2:])
     N0, N1, N2 = u.shape
     h = N2 // 2
     assert h % 128 == 0
@@ -573,13 +578,19 @@ def fused_zy_fwd(u):
             bytes_accessed=(N0 * N1 * N2 + 2 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
-    return fn(u.astype(jnp.float32), jnp.asarray(A), jnp.asarray(B),
-              jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+    yr, yi = fn(u.astype(jnp.float32), jnp.asarray(A), jnp.asarray(B),
+                jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+                jnp.asarray(ci))
+    out_shp = shp[:-1] + (h,)
+    return yr.reshape(out_shp), yi.reshape(out_shp)
 
 
 def fused_zy_bwd(yr, yi, n2: int):
-    """packed planar (N0, N1, n2/2) -> real (N0, N1, n2); inverse y-fft and
-    packed z-irfft fused in one kernel."""
+    """packed planar (…, N1, n2/2) -> real (…, N1, n2); inverse y-fft and
+    packed z-irfft fused in one kernel.  Leading dims batch into the grid."""
+    shp = yr.shape
+    yr = yr.reshape((-1,) + shp[-2:])
+    yi = yi.reshape((-1,) + shp[-2:])
     N0, N1, h = yr.shape
     assert h == n2 // 2 and h % 128 == 0
     r, m = _factor(N1)
@@ -603,8 +614,9 @@ def fused_zy_bwd(yr, yi, n2: int):
             bytes_accessed=(N0 * N1 * n2 + 2 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
-    return fn(yr, yi, jnp.asarray(wr), jnp.asarray(wi),
-              jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(C), jnp.asarray(D))
+    y = fn(yr, yi, jnp.asarray(wr), jnp.asarray(wi),
+           jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(C), jnp.asarray(D))
+    return y.reshape(shp[:-1] + (n2,))
 
 
 def _use_fused_zy(n1: int, n2: int) -> bool:
@@ -621,46 +633,50 @@ def _use_packed(n2: int) -> bool:
 
 
 def rfft3d_packed(u):
-    """real (N0,N1,N2) -> packed planar spectral (re, im), shape (N0,N1,N2/2)."""
-    if _use_fused_zy(u.shape[1], u.shape[2]):
+    """real (…,N0,N1,N2) -> packed planar spectral (re, im), (…,N0,N1,N2/2).
+
+    Leading dims (e.g. velocity components) are batched — one kernel chain
+    transforms the whole stack."""
+    if _use_fused_zy(u.shape[-2], u.shape[-1]):
         yr, yi = fused_zy_fwd(u)                   # z+y in one HBM pass
     else:
         yr, yi = rfft_last_packed(u)
-        yr, yi = fft_axis_planar(yr, yi, axis=1)
-    return fft_axis_planar(yr, yi, axis=0)
+        yr, yi = fft_axis_planar(yr, yi, axis=u.ndim - 2)
+    return fft_axis_planar(yr, yi, axis=u.ndim - 3)
 
 
 def irfft3d_packed(yr, yi, s):
-    yr, yi = fft_axis_planar(yr, yi, axis=0, inverse=True)
-    if _use_fused_zy(s[1], s[2]):
-        return fused_zy_bwd(yr, yi, s[2])
-    yr, yi = fft_axis_planar(yr, yi, axis=1, inverse=True)
-    return irfft_last_packed(yr, yi, s[2])
+    yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 3, inverse=True)
+    if _use_fused_zy(s[-2], s[-1]):
+        return fused_zy_bwd(yr, yi, s[-1])
+    yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 2, inverse=True)
+    return irfft_last_packed(yr, yi, s[-1])
 
 
 def rfft3d_planar(u):
-    """real (N0, N1, N2) -> planar spectral (re, im) of shape (N0, N1, Nfp)."""
-    if _use_packed(u.shape[2]):
+    """real (…,N0,N1,N2) -> planar spectral (re, im) of shape (…,N0,N1,Nfp)."""
+    if _use_packed(u.shape[-1]):
         return rfft3d_packed(u)
     yr, yi = rfft_last_planar(u)
-    yr, yi = fft_axis_planar(yr, yi, axis=1)
-    return fft_axis_planar(yr, yi, axis=0)
+    yr, yi = fft_axis_planar(yr, yi, axis=u.ndim - 2)
+    return fft_axis_planar(yr, yi, axis=u.ndim - 3)
 
 
 def irfft3d_planar(yr, yi, s):
-    if _use_packed(s[2]) and yr.shape[-1] == s[2] // 2:
+    if _use_packed(s[-1]) and yr.shape[-1] == s[-1] // 2:
         return irfft3d_packed(yr, yi, s)
-    yr, yi = fft_axis_planar(yr, yi, axis=0, inverse=True)
-    yr, yi = fft_axis_planar(yr, yi, axis=1, inverse=True)
-    return irfft_last_planar(yr, yi, s[2])
+    yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 3, inverse=True)
+    yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 2, inverse=True)
+    return irfft_last_planar(yr, yi, s[-1])
 
 
 def rfft3d(u) -> jnp.ndarray:
-    """numpy-convention rfftn for 3D real input — complex64 out, (N0,N1,Nf)."""
-    nf = u.shape[2] // 2 + 1
-    if _use_packed(u.shape[2]):
+    """numpy-convention rfftn over the LAST THREE axes of real input —
+    complex64 out, (…,N0,N1,Nf).  Leading axes batch."""
+    nf = u.shape[-1] // 2 + 1
+    if _use_packed(u.shape[-1]):
         yr, yi = rfft3d_packed(u)
-        p0, pny = unpack_plane0(yr, yi)
+        p0, pny = unpack_plane0(yr, yi, axes=(u.ndim - 3, u.ndim - 2))
         body = lax.complex(yr, yi)[..., 1:]
         return jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
     yr, yi = rfft3d_planar(u)
@@ -668,8 +684,10 @@ def rfft3d(u) -> jnp.ndarray:
 
 
 def irfft3d(fu, s) -> jnp.ndarray:
-    nf = s[2] // 2 + 1
-    if _use_packed(s[2]) and fu.shape[2] == nf:
+    """inverse of rfft3d; ``s`` = the last-three-axes physical sizes."""
+    s = tuple(s)[-3:]
+    nf = s[-1] // 2 + 1
+    if _use_packed(s[-1]) and fu.shape[-1] == nf:
         qr, qi = pack_plane0(fu[..., 0], fu[..., nf - 1])
         br = jnp.concatenate([qr[..., None],
                               jnp.real(fu[..., 1:nf - 1]).astype(jnp.float32)],
@@ -679,7 +697,7 @@ def irfft3d(fu, s) -> jnp.ndarray:
                              axis=-1)
         return irfft3d_packed(br.astype(jnp.float32), bi.astype(jnp.float32), s)
     nfp = _round_up(nf, 128)
-    pad = [(0, 0), (0, 0), (0, nfp - fu.shape[2])]
+    pad = [(0, 0)] * (fu.ndim - 1) + [(0, nfp - fu.shape[-1])]
     fup = jnp.pad(fu, pad)
     return irfft3d_planar(jnp.real(fup).astype(jnp.float32),
                           jnp.imag(fup).astype(jnp.float32), s)

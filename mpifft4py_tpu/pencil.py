@@ -47,7 +47,7 @@ from .parallel.mesh import AXIS1, AXIS2, pencil_mesh, check_divisible
 from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
-    dealias_cutoffs,
+    dealias_cutoffs, flip_conj_plane,
 )
 
 __all__ = ["R2C"]
@@ -250,10 +250,46 @@ class R2C(BaseFFT):
             x = self._stage(x, AXIS2, 2, 1, fft_t(1, N1), pipeline_axis=0)
             x = self._stage(x, AXIS1, 1, 0, fft_t(0, N0), pipeline_axis=2)
         if padded:
+            x = self._sym_nyq(x)
             return x * self.complex.type(1.0 / self.padsize ** 3)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
+
+    def _sym_nyq(self, x):
+        """Hermitian-symmetrize the z-Nyquist plane of a padded forward
+        (see slab._Slab3D._sym_nyq).  The Hermitian axis is SHARDED here, so
+        only the rank whose chunk holds global k2 = Nf−1 applies the fix; the
+        in-plane flip spans one local full axis and one sharded axis (gather
+        that single plane over the sharded axis' group)."""
+        if self.alignment == "Y":
+            # layout (n0, N1, nf1): axis 0 over P2, Hermitian over P1
+            chunk = self.Nfp // self.P1
+            plane_axes, gather_axis_name, gather_axis = (0, 1), AXIS2, 0
+            herm_axis_name, herm_P = AXIS1, self.P1
+        else:
+            # layout (N0, n1, nf2): axis 1 over P1, Hermitian over P2
+            chunk = self.Nfp // self.P2
+            plane_axes, gather_axis_name, gather_axis = (0, 1), AXIS1, 1
+            herm_axis_name, herm_P = AXIS2, self.P2
+        rank_ny, off = divmod(self.Nf - 1, chunk)
+        q = x[..., off]
+        if self.P == 1:
+            f = flip_conj_plane(q, plane_axes)
+        elif int(self.mesh.shape[gather_axis_name]) == 1:
+            f = flip_conj_plane(q, plane_axes)
+        else:
+            full = lax.all_gather(q, gather_axis_name, axis=gather_axis,
+                                  tiled=True)
+            f = flip_conj_plane(full, plane_axes)
+            n_loc = q.shape[gather_axis]
+            r = lax.axis_index(gather_axis_name)
+            f = lax.dynamic_slice_in_dim(f, r * n_loc, n_loc, gather_axis)
+        sym = 0.5 * (q + f)
+        if herm_P > 1:
+            here = lax.axis_index(herm_axis_name) == rank_ny
+            sym = jnp.where(here, sym, q)
+        return x.at[..., off].set(sym)
 
     def _bwd_local(self, fu, dealias):
         padded = dealias == "3/2-rule"
@@ -316,10 +352,40 @@ class R2C(BaseFFT):
             x = self._stage(x, AXIS2, 2, 1, fft_t(1, N1), pipeline_axis=0)
             x = self._stage(x, AXIS1, 1, 0, fft_t(0, N0), pipeline_axis=2)
         if padded:
+            x = self._sym_nyq_dd(x)
             return x * DD.from_f64(np.array(1.0 / self.padsize ** 3))
         if dealias == "2/3-rule":
             x = dd_where(self._dealias_local(), x)
         return x
+
+    def _sym_nyq_dd(self, x):
+        """Doubleword variant of _sym_nyq (same rank/offset bookkeeping)."""
+        from .utils import spectral_dd as sdd
+        if self.alignment == "Y":
+            chunk = self.Nfp // self.P1
+            gather_axis_name, gather_axis = AXIS2, 0
+            herm_axis_name, herm_P = AXIS1, self.P1
+        else:
+            chunk = self.Nfp // self.P2
+            gather_axis_name, gather_axis = AXIS1, 1
+            herm_axis_name, herm_P = AXIS2, self.P2
+        rank_ny, off = divmod(self.Nf - 1, chunk)
+        q = x[..., off]
+        if self.P == 1 or int(self.mesh.shape[gather_axis_name]) == 1:
+            f = sdd.flip_conj_plane_dd(q, (0, 1))
+        else:
+            full = jax.tree.map(
+                lambda v: lax.all_gather(v, gather_axis_name,
+                                         axis=gather_axis, tiled=True), q)
+            f = sdd.flip_conj_plane_dd(full, (0, 1))
+            n_loc = q.shape[gather_axis]
+            r = lax.axis_index(gather_axis_name)
+            f = jax.tree.map(
+                lambda v: lax.dynamic_slice_in_dim(v, r * n_loc, n_loc,
+                                                   gather_axis), f)
+        sym = (q + f)._map(lambda v: v * jnp.float32(0.5))
+        cond = (lax.axis_index(herm_axis_name) == rank_ny) if herm_P > 1 else None
+        return sdd.sym_select_set_dd(x, off, sym, cond)
 
     def _bwd_local_dd(self, fu, dealias):
         from .ops import dd_fft as df

@@ -45,7 +45,7 @@ from .parallel.mesh import AXIS, slab_mesh, check_divisible
 from .ops import fft_core as fc
 from .utils.spectral import (
     pad_full_axis, trunc_full_axis, pad_half_axis, trunc_half_axis,
-    dealias_cutoffs,
+    dealias_cutoffs, flip_conj_plane,
 )
 
 __all__ = ["R2C", "C2C"]
@@ -222,6 +222,8 @@ class _Slab3D(BaseFFT):
         import os
         if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
             return False
+        if os.environ.get("MPIFFT4PY_TPU_FORCE_DIST"):  # bench: prove the
+            return False                                # sharded program's speed
         if self.policy.path != "native" or self.float != np.float32:
             return False
         if jax.default_backend() != "tpu":
@@ -233,6 +235,43 @@ class _Slab3D(BaseFFT):
                 and p3.supported_c2c(int(dims[1]))
                 and self._lastf != int(self.N[2]))  # R2C only (not C2C)
 
+    def _sym_nyq(self, x):
+        """Hermitian-symmetrize the z-Nyquist plane of a padded R2C forward.
+
+        trunc_half_axis doubles ĉ[k0,k1,N/2]; the exact alias sum is
+        ĉ + conj(ĉ(−k0,−k1)), which differs for general dealiased products
+        (ADVICE r1).  Applied once all axes are spectral: axis 0 is local
+        (full), axis 1 is sharded — gather just that plane (1/Nf of data).
+        """
+        q = x[..., -1]                                     # (N0, Np1)
+        if self.P == 1:
+            f = flip_conj_plane(q, (0, 1))
+        else:
+            full = lax.all_gather(q, AXIS, axis=1, tiled=True)   # (N0, N1)
+            f = flip_conj_plane(full, (0, 1))
+            np1 = q.shape[1]
+            r = lax.axis_index(AXIS)
+            f = lax.dynamic_slice_in_dim(f, r * np1, np1, 1)
+        sym = 0.5 * (q + f)
+        return jnp.concatenate([x[..., :-1], sym[..., None]], axis=-1)
+
+    def _sym_nyq_dd(self, x):
+        """Doubleword variant of _sym_nyq (leafwise flip/roll, dd average)."""
+        from .utils import spectral_dd as sdd
+        q = x[..., -1]
+        if self.P == 1:
+            f = sdd.flip_conj_plane_dd(q, (0, 1))
+        else:
+            full = jax.tree.map(
+                lambda v: lax.all_gather(v, AXIS, axis=1, tiled=True), q)
+            f = sdd.flip_conj_plane_dd(full, (0, 1))
+            np1 = q.shape[1]
+            r = lax.axis_index(AXIS)
+            f = jax.tree.map(
+                lambda v: lax.dynamic_slice_in_dim(v, r * np1, np1, 1), f)
+        sym = (q + f)._map(lambda v: v * jnp.float32(0.5))
+        return sdd.sym_select_set_dd(x, x.shape[-1] - 1, sym)
+
     def _fwd_serial_pallas(self, u, dealias):
         from .ops import pallas_fft3d as p3
         if dealias == "3/2-rule":
@@ -240,6 +279,7 @@ class _Slab3D(BaseFFT):
             x = trunc_full_axis(x, 0, int(self.N[0]))
             x = trunc_full_axis(x, 1, int(self.N[1]))
             x = trunc_half_axis(x, 2, self._lastf)
+            x = self._sym_nyq(x)
             return x * self.complex.type(1.0 / self.padsize ** 3)
         x = p3.rfft3d(u)
         if dealias == "2/3-rule":
@@ -258,12 +298,102 @@ class _Slab3D(BaseFFT):
             return (u * self.float.type(self.padsize ** 3)).astype(self.float)
         return p3.irfft3d(fu, tuple(int(n) for n in self.N)).astype(self.float)
 
+    # -- Pallas distributed pipeline (MXU local stages on EVERY rank) ----------
+    #
+    # The FFTW analog must serve every rank's local transforms, not just the
+    # P==1 shortcut (VERDICT r1 item 2 / SURVEY §2.1 #7).  Design: the local
+    # stages run the packed-Hermitian planar kernels (ops.pallas_fft3d) and the
+    # transpose moves the planar (re, im) float32 pair — complex never appears
+    # between kernels, and the packed z-width is exactly N2/2 (no 129→256 lane
+    # padding).  The packed plane k2=0 carries X[k2=0] + i·X[k2=Nyq]; after the
+    # axis-0 FFT the riders separate by a flip-conj over the global (k0, k1)
+    # plane — axis 1 is distributed, so the epilogue all-gathers that single
+    # plane (1/h of the field; ~P/h relative traffic) and slices back.
+
+    def _pallas_dist_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.float != np.float32:
+            return False
+        if self._lastf == int(self.N[2]):  # R2C only
+            return False
+        if not (jax.default_backend() == "tpu"
+                or os.environ.get("MPIFFT4PY_TPU_PALLAS_DIST") == "force"):
+            return False
+        if dealias == "3/2-rule":  # padded sizes stay on the XLA tier for now
+            return False
+        from .ops import pallas_fft3d as p3
+        N0, N1, N2 = (int(n) for n in self.N)
+        return ((N2 // 2) % 128 == 0 and p3.supported_c2c(N0)
+                and p3.supported_c2c(N1))
+
+    def _fwd_dist_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        N1, N2 = int(self.N[1]), int(self.N[2])
+        if p3._use_fused_zy(N1, N2):
+            yr, yi = p3.fused_zy_fwd(u)             # (Np0, N1, h), y done
+        else:
+            yr, yi = p3.rfft_last_packed(u)
+            yr, yi = p3.fft_axis_planar(yr, yi, axis=1)
+        yr, yi = self._stage((yr, yi), AXIS, 1, 0,
+                             lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                             pipeline_axis=2)       # (N0, Np1, h), all axes done
+        p0, pny = self._unpack_plane0_dist(yr, yi)
+        body = lax.complex(yr, yi)[..., 1:]
+        x = jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_dist_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        nf = self._lastf
+        N2 = int(self.N[2])
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        qr, qi = p3.pack_plane0(fu[..., 0], fu[..., nf - 1])  # pointwise
+        br = jnp.concatenate([qr[..., None],
+                              jnp.real(fu[..., 1:nf - 1]).astype(jnp.float32)],
+                             axis=-1)
+        bi = jnp.concatenate([qi[..., None],
+                              jnp.imag(fu[..., 1:nf - 1]).astype(jnp.float32)],
+                             axis=-1)
+        yr, yi = self._stage((br, bi), AXIS, 0, 1, pipeline_axis=2,
+                             pre_fn=lambda t: p3.fft_axis_planar(
+                                 t[0], t[1], axis=0, inverse=True))
+        if p3._use_fused_zy(int(self.N[1]), N2):
+            return p3.fused_zy_bwd(yr, yi, N2).astype(self.float)
+        yr, yi = p3.fft_axis_planar(yr, yi, axis=1, inverse=True)
+        return p3.irfft_last_packed(yr, yi, N2).astype(self.float)
+
+    def _unpack_plane0_dist(self, yr, yi):
+        """Separate the packed plane-0 riders: needs conj(Q(−k)) over the
+        global (k0, k1) plane; k1 is sharded, so gather just that plane."""
+        from .ops import pallas_fft3d as p3
+        qr, qi = yr[..., 0], yi[..., 0]                 # (N0, Np1)
+        if self.P == 1:
+            cr, ci = p3._flipconj(qr, qi, (0, 1))
+        else:
+            gr = lax.all_gather(qr, AXIS, axis=1, tiled=True)   # (N0, N1)
+            gi = lax.all_gather(qi, AXIS, axis=1, tiled=True)
+            fr, fi = p3._flipconj(gr, gi, (0, 1))
+            np1 = qr.shape[1]
+            r = lax.axis_index(AXIS)
+            cr = lax.dynamic_slice_in_dim(fr, r * np1, np1, 1)
+            ci = lax.dynamic_slice_in_dim(fi, r * np1, np1, 1)
+        p0 = lax.complex(0.5 * (qr + cr), 0.5 * (qi + ci))
+        pny = lax.complex(0.5 * (qi - ci), -0.5 * (qr - cr))
+        return p0, pny
+
     def _fwd_local(self, u, dealias):
         # The single transpose overlaps the axis-0 FFT when
         # communication="pipelined", chunked on the independent Hermitian axis
         # (BASELINE config 5) — on the plain AND the 3/2-rule padded path.
         if self.P == 1 and self._pallas3d_ok(dealias):
             return self._fwd_serial_pallas(u, dealias)
+        if self._pallas_dist_ok(dealias):
+            return self._fwd_dist_pallas(u, dealias)
         if dealias == "3/2-rule":
             x = self._fft_yz(u)                               # (Mp0, M1, Mf)
             x = trunc_full_axis(x, 1, int(self.N[1]))
@@ -272,6 +402,8 @@ class _Slab3D(BaseFFT):
                             lambda y: trunc_full_axis(fc.fft(y, axis=0), 0,
                                                       int(self.N[0])),
                             pipeline_axis=2)
+            if self._lastf != int(self.N[2]):  # R2C: fix the z-Nyquist plane
+                x = self._sym_nyq(x)
             return x * self.complex.type(1.0 / self.padsize ** 3)
         x = self._fft_yz(u)                                   # (Np0, N1, lastf)
         x = self._stage(x, AXIS, 1, 0, lambda y: fc.fft(y, axis=0),
@@ -283,6 +415,8 @@ class _Slab3D(BaseFFT):
     def _bwd_local(self, fu, dealias):
         if self.P == 1 and self._pallas3d_ok(dealias):
             return self._bwd_serial_pallas(fu, dealias)
+        if self._pallas_dist_ok(dealias):
+            return self._bwd_dist_pallas(fu, dealias)
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         if dealias == "3/2-rule":
@@ -320,6 +454,8 @@ class _Slab3D(BaseFFT):
                             lambda y: sdd.trunc_full_axis_dd(
                                 df.fft_dd(y, axis=0), 0, int(self.N[0])),
                             pipeline_axis=2)
+            if self._lastf != int(self.N[2]):  # R2C: z-Nyquist alias sum
+                x = self._sym_nyq_dd(x)
             s = DD.from_f64(np.array(1.0 / self.padsize ** 3))
             return x * s
         x = self._fft_yz_dd(u)
@@ -377,6 +513,39 @@ class _Slab3D(BaseFFT):
         out_spec = P(AXIS, None, None)
         return self._smap(lambda fu: local(fu, dealias),
                           in_specs=self.complex_spec(), out_specs=out_spec)
+
+    # -- batched multi-component transforms -----------------------------------
+
+    def forward_fields_fn(self, dealias=None):
+        """(C,) + real -> (C,) + complex.  Serial MXU path: the whole stack
+        rides ONE batched kernel chain (ops.pallas_fft3d batches leading
+        dims into the grid) — one launch sequence instead of C."""
+        if (self.P == 1 and dealias != "3/2-rule"
+                and self._lastf != int(self.N[2])
+                and self._pallas3d_ok(dealias)):
+            from .ops import pallas_fft3d as p3
+
+            def fwd(U):
+                x = p3.rfft3d(U)
+                if dealias == "2/3-rule":
+                    x = jnp.where(self._dealias_local(), x, 0)
+                return x
+            return fwd
+        return super().forward_fields_fn(dealias)
+
+    def backward_fields_fn(self, dealias=None):
+        if (self.P == 1 and dealias != "3/2-rule"
+                and self._lastf != int(self.N[2])
+                and self._pallas3d_ok(dealias)):
+            from .ops import pallas_fft3d as p3
+            s = tuple(int(n) for n in self.N)
+
+            def bwd(FU):
+                if dealias == "2/3-rule":
+                    FU = jnp.where(self._dealias_local(), FU, 0)
+                return p3.irfft3d(FU, s).astype(self.float)
+            return bwd
+        return super().backward_fields_fn(dealias)
 
     # -- dd field construction ----------------------------------------------------
 

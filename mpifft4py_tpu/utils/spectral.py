@@ -88,13 +88,28 @@ def pad_half_axis(x: jnp.ndarray, axis: int, Mf: int, Nf: int | None = None) -> 
 
 
 def trunc_half_axis(x: jnp.ndarray, axis: int, Nf: int) -> jnp.ndarray:
-    """Truncate a half spectral axis from Mf back to Nf, doubling Nyquist."""
+    """Truncate a half spectral axis from Mf back to Nf, doubling Nyquist.
+
+    Doubling equals the true alias sum ĉ[k,N/2] + conj(ĉ[-k,N/2]) only when
+    the Nyquist plane is self-conjugate — exact for round trips; a general
+    dealiased product keeps an anti-Hermitian residual there.  The R2C
+    forwards therefore finish their 3/2-rule path with
+    ``flip_conj_plane``-based symmetrization (exact for products, no-op for
+    round trips) once every axis is transformed.
+    """
     nd = x.ndim
     if x.shape[axis] == Nf:
         return x
     body = x[_slc(nd, axis, 0, Nf - 1)]
     ny = x[_slc(nd, axis, Nf - 1, Nf)] * 2.0
     return jnp.concatenate([body, ny], axis=axis)
+
+
+def flip_conj_plane(q: jnp.ndarray, axes) -> jnp.ndarray:
+    """conj(Q(−k)) over full fft-layout ``axes`` (index j → (n−j) mod n)."""
+    axes = tuple(axes)
+    return jnp.conj(jnp.roll(jnp.flip(q, axis=axes), (1,) * len(axes),
+                             axis=axes))
 
 
 # ---- wavenumbers ------------------------------------------------------------

@@ -69,3 +69,23 @@ def trunc_half_axis_dd(x: DDComplex, axis: int, Nf: int) -> DDComplex:
     body = x[_slc(nd, axis, 0, Nf - 1)]
     ny = x[_slc(nd, axis, Nf - 1, Nf)]._map(lambda a: a * jnp.float32(2.0))
     return dd_concat([body, ny], axis=axis)
+
+
+def flip_conj_plane_dd(q: DDComplex, axes) -> DDComplex:
+    """conj(Q(−k)) over full fft-layout ``axes`` (dd analog of
+    utils.spectral.flip_conj_plane)."""
+    axes = tuple(axes)
+    f = q._map(lambda v: jnp.roll(jnp.flip(v, axis=axes),
+                                  (1,) * len(axes), axis=axes))
+    return f.conj()
+
+
+def sym_select_set_dd(x: DDComplex, off: int, sym: DDComplex,
+                      cond=None) -> DDComplex:
+    """x[..., off] = (cond ? sym : x[..., off]), leafwise (dd pytrees)."""
+    import jax
+
+    q = x[..., off]
+    if cond is not None:
+        sym = jax.tree.map(lambda a, b: jnp.where(cond, a, b), sym, q)
+    return jax.tree.map(lambda xv, sv: xv.at[..., off].set(sv), x, sym)

@@ -1,0 +1,94 @@
+"""Distributed Pallas pipeline parity (interpret mode, 8-device CPU mesh).
+
+VERDICT r1 item 2: the MXU fast tier must serve every rank's local stages,
+not just the P==1 shortcut.  These run slab.R2C with the packed-planar
+distributed pipeline forced on (MPIFFT4PY_TPU_PALLAS_DIST=force) under
+pltpu.force_tpu_interpret_mode, against numpy oracles — real collectives,
+interpreted kernels.  On-chip perf of the same program: bench.py with
+MPIFFT4PY_TPU_FORCE_DIST=1 (recorded in BENCH.md).
+"""
+
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from mpifft4py_tpu import slab
+
+TAU = 2 * np.pi
+
+
+@pytest.fixture(autouse=True)
+def _force_dist(monkeypatch):
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 256), (16, 128, 256)])
+@pytest.mark.parametrize("P", [2, 4])  # P=8: the Mosaic interpreter deadlocks
+def test_slab_dist_pallas_vs_numpy(rng, shape, P):
+    """(16,128,256) engages the fused z+y kernel; (16,16,256) the separate
+    packed-rfft + factored-y path.  Both must match numpy through the real
+    all-to-all + plane-0 all-gather epilogue."""
+    N = np.array(shape)
+    FFT = slab.R2C(N, np.array([TAU] * 3), P, "single")
+    assert FFT._pallas_dist_ok(None)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+def test_slab_dist_pallas_dealias(rng):
+    shape = (16, 16, 256)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u), dealias="2/3-rule"))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    filt = np.asarray(FFT.get_dealias_filter()).astype(bool)
+    refm = np.where(filt, ref, 0)
+    assert np.abs(fu - refm).max() / np.abs(ref).max() < 2e-6
+
+
+def test_fields_fn_matches_per_component(rng):
+    """forward/backward_fields_fn == stacked per-component transforms
+    (both the loop default at P>1 and the batched MXU path shape-wise)."""
+    shape = (16, 16, 256)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    U = rng.standard_normal((3,) + shape).astype(np.float32)
+    Us = FFT.shard_real(U[0]), FFT.shard_real(U[1]), FFT.shard_real(U[2])
+    import jax.numpy as jnp
+    got = np.asarray(FFT.forward_fields_fn()(jnp.stack(Us)))
+    ref = np.stack([np.asarray(FFT.fftn(Us[i])) for i in range(3)])
+    assert np.abs(got - ref).max() <= 1e-5 * np.abs(ref).max()
+    back = np.asarray(FFT.backward_fields_fn()(jnp.asarray(got)))
+    assert np.abs(back - U).max() / np.abs(U).max() < 3e-6
+
+
+def test_batched_kernels_vs_numpy(rng):
+    """Leading-dim batching of the packed 3D kernel chain (rfft3d/irfft3d)."""
+    import jax.numpy as jnp
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+    u = rng.standard_normal((2, 8, 16, 256)).astype(np.float32)
+    fu = np.asarray(p3.rfft3d(jnp.asarray(u)))
+    ref = np.fft.rfftn(u.astype(np.float64), axes=(1, 2, 3))
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(p3.irfft3d(jnp.asarray(fu.astype(np.complex64)),
+                               (8, 16, 256)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+def test_slab_dist_pallas_pipelined(rng):
+    """Planar pair rides the chunked (pipelined) transpose identically."""
+    shape = (16, 16, 256)
+    dense = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    piped = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single",
+                     communication="pipelined", pipeline_chunks=2)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu_d = np.asarray(dense.fftn(dense.shard_real(u)))
+    fu_p = np.asarray(piped.fftn(piped.shard_real(u)))
+    assert np.abs(fu_p - fu_d).max() <= 1e-4 * np.abs(fu_d).max()
