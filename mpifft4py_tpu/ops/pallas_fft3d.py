@@ -670,15 +670,50 @@ def irfft3d_planar(yr, yi, s):
     return irfft_last_planar(yr, yi, s[-1])
 
 
+def unpack_spectrum(yr, yi) -> jnp.ndarray:
+    """packed planar (…,N0,N1,h) -> standard complex (…,N0,N1,h+1): separate
+    the plane-0 riders (full-axes flip-conj) and append the Nyquist column."""
+    p0, pny = unpack_plane0(yr, yi, axes=(yr.ndim - 3, yr.ndim - 2))
+    body = lax.complex(yr, yi)[..., 1:]
+    return jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
+
+
+def pack_spectrum(fu) -> tuple:
+    """standard complex (…,N0,N1,Nf) -> packed planar pair (…,N0,N1,Nf−1)
+    (plane 0 = X0 + i·X_Nyquist; pointwise, no flips)."""
+    nf = fu.shape[-1]
+    qr, qi = pack_plane0(fu[..., 0], fu[..., nf - 1])
+    br = jnp.concatenate([qr[..., None],
+                          jnp.real(fu[..., 1:nf - 1]).astype(jnp.float32)],
+                         axis=-1)
+    bi = jnp.concatenate([qi[..., None],
+                          jnp.imag(fu[..., 1:nf - 1]).astype(jnp.float32)],
+                         axis=-1)
+    return br.astype(jnp.float32), bi.astype(jnp.float32)
+
+
+def purify_plane0(yr, yi):
+    """Drop the Nyquist rider from packed plane 0 (→ X0 exactly), leaving the
+    body untouched.  Used by consumers whose spectra are Nyquist-free by
+    construction (2/3-rule-dealiased states): afterwards the packed pair IS
+    the spectrum on k2 = 0..h−1 and all spectral algebra is uniform."""
+    qr, qi = yr[..., 0], yi[..., 0]
+    axes = (qr.ndim - 2, qr.ndim - 1)  # the (k0, k1) axes of the plane
+    fr = jnp.roll(jnp.flip(qr, axis=axes), (1, 1), axis=axes)
+    fi = jnp.roll(jnp.flip(qi, axis=axes), (1, 1), axis=axes)
+    p0r = 0.5 * (qr + fr)
+    p0i = 0.5 * (qi - fi)
+    yr = jnp.concatenate([p0r[..., None], yr[..., 1:]], axis=-1)
+    yi = jnp.concatenate([p0i[..., None], yi[..., 1:]], axis=-1)
+    return yr, yi
+
+
 def rfft3d(u) -> jnp.ndarray:
     """numpy-convention rfftn over the LAST THREE axes of real input —
     complex64 out, (…,N0,N1,Nf).  Leading axes batch."""
     nf = u.shape[-1] // 2 + 1
     if _use_packed(u.shape[-1]):
-        yr, yi = rfft3d_packed(u)
-        p0, pny = unpack_plane0(yr, yi, axes=(u.ndim - 3, u.ndim - 2))
-        body = lax.complex(yr, yi)[..., 1:]
-        return jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
+        return unpack_spectrum(*rfft3d_packed(u))
     yr, yi = rfft3d_planar(u)
     return lax.complex(yr, yi)[..., :nf]
 
@@ -688,14 +723,8 @@ def irfft3d(fu, s) -> jnp.ndarray:
     s = tuple(s)[-3:]
     nf = s[-1] // 2 + 1
     if _use_packed(s[-1]) and fu.shape[-1] == nf:
-        qr, qi = pack_plane0(fu[..., 0], fu[..., nf - 1])
-        br = jnp.concatenate([qr[..., None],
-                              jnp.real(fu[..., 1:nf - 1]).astype(jnp.float32)],
-                             axis=-1)
-        bi = jnp.concatenate([qi[..., None],
-                              jnp.imag(fu[..., 1:nf - 1]).astype(jnp.float32)],
-                             axis=-1)
-        return irfft3d_packed(br.astype(jnp.float32), bi.astype(jnp.float32), s)
+        br, bi = pack_spectrum(fu)
+        return irfft3d_packed(br, bi, s)
     nfp = _round_up(nf, 128)
     pad = [(0, 0)] * (fu.ndim - 1) + [(0, nfp - fu.shape[-1])]
     fup = jnp.pad(fu, pad)

@@ -82,6 +82,20 @@ def test_batched_kernels_vs_numpy(rng):
     assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
 
 
+def test_c2c_dist_pallas_vs_numpy(rng):
+    """Distributed planar c2c pipeline (no packed riders) vs numpy."""
+    shape = (16, 16, 256)
+    FFT = slab.C2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    assert FFT._pallas_dist_ok(None)
+    u = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+         ).astype(np.complex64)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.fftn(u.astype(np.complex128))
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
 def test_slab_dist_pallas_pipelined(rng):
     """Planar pair rides the chunked (pipelined) transpose identically."""
     shape = (16, 16, 256)
