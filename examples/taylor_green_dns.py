@@ -39,7 +39,14 @@ def main():
         FFT = slab.R2C(grid, L, None, "single")
         print(f"slab mesh P={FFT.P}")
 
-    solver = NavierStokes3D(FFT, nu=1.0 / 1600.0, dt=0.005, dealias="2/3-rule")
+    # packed spectral layout: boundary-free MXU fast path (single chip,
+    # (N/2)%128==0) — 256³ RK4 step 78 ms vs 112 ms (BENCH.md)
+    layout = "packed" if ("--packed" in sys.argv or
+                          (FFT.P == 1 and jax.default_backend() == "tpu"
+                           and (N // 2) % 128 == 0)) else "complex"
+    print(f"spectral_layout={layout}")
+    solver = NavierStokes3D(FFT, nu=1.0 / 1600.0, dt=0.005, dealias="2/3-rule",
+                            spectral_layout=layout)
     U_hat = solver.taylor_green()
     print(f"t=0      E={solver.energy(U_hat):.8f}")
 

@@ -219,8 +219,61 @@ class R2C(BaseFFT):
         yr, yi = p3.fft_axis_planar(yr, yi, axis=0, inverse=True)
         return p3.irfft_last_planar(yr, yi, n1)
 
+    # -- Pallas distributed pipeline (MXU local stages on EVERY rank) ----------
+
+    def _pallas_dist_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.float != np.float32:
+            return False
+        if not (jax.default_backend() == "tpu"
+                or os.environ.get("MPIFFT4PY_TPU_PALLAS_DIST") == "force"):
+            return False
+        if dealias == "3/2-rule" or self.P > 128:
+            return False
+        from .ops import pallas_fft3d as p3
+        return p3.supported_r2c(int(self.N[1])) and p3.supported_c2c(int(self.N[0]))
+
+    def _fit_width(self, yr, yi, w):
+        if yr.shape[-1] > w:
+            return yr[..., :w], yi[..., :w]
+        if yr.shape[-1] < w:
+            pad = [(0, 0)] * (yr.ndim - 1) + [(0, w - yr.shape[-1])]
+            return jnp.pad(yr, pad), jnp.pad(yi, pad)
+        return yr, yi
+
+    def _fwd_dist_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        yr, yi = p3.rfft_last_planar(u)                # (Np0, round_up(Nf,128))
+        yr, yi = self._fit_width(yr, yi, self.Nfp)
+        pair = self._stage((yr, yi), AXIS, 1, 0,
+                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                           pipeline_axis=1, block_chunking="split")
+        x = lax.complex(pair[0], pair[1])
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_dist_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        pr = jnp.real(fu).astype(jnp.float32)
+        pi = jnp.imag(fu).astype(jnp.float32)
+        pair = self._stage((pr, pi), AXIS, 0, 1, pipeline_axis=1,
+                           block_chunking="concat",
+                           pre_fn=lambda t: p3.fft_axis_planar(
+                               t[0], t[1], axis=0, inverse=True))
+        w = p3._round_up(self.Nf, 128)
+        yr, yi = self._fit_width(pair[0][..., :self.Nf],
+                                 pair[1][..., :self.Nf], w)
+        return p3.irfft_last_planar(yr, yi, int(self.N[1])).astype(self.float)
+
     def _fwd_local(self, u, dealias):
         P_ = self.P
+        if P_ > 1 and self._pallas_dist_ok(dealias):
+            return self._fwd_dist_pallas(u, dealias)
         if P_ == 1 and self._pallas2d_ok(dealias):
             if dealias == "3/2-rule":
                 x = self._serial_rfft2_pallas(u)            # (M0, Mf)
@@ -266,6 +319,8 @@ class R2C(BaseFFT):
         return x.at[:, off].set(sym)
 
     def _bwd_local(self, fu, dealias):
+        if self.P > 1 and self._pallas_dist_ok(dealias):
+            return self._bwd_dist_pallas(fu, dealias)
         if self.P == 1 and self._pallas2d_ok(dealias):
             if dealias == "2/3-rule":
                 fu = jnp.where(self._dealias_local(), fu, 0)

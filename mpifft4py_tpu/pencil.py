@@ -225,7 +225,76 @@ class R2C(BaseFFT):
             return x
         return jnp.pad(x, [(0, 0), (0, 0), (0, self.Nfp - x.shape[2])])
 
+    # -- Pallas distributed pipeline (MXU local stages on EVERY rank) ----------
+    #
+    # Pencil analog of slab's distributed fast tier (VERDICT r1 item 2): the
+    # local z/y/x stages run the planar MXU kernels and the two grouped
+    # all-to-alls move the (re, im) float32 pair.  The PLANAR (not packed)
+    # z-layout is used because pencil shards the Hermitian axis: planar
+    # stores X[k] directly (no plane-0 riders), so slicing to the alignment
+    # width Nfp and the existing transpose choreography apply unchanged.
+    # Cost note: the y/x kernels see Nfp/P2 lanes — below 128 Mosaic pads the
+    # lane dim, wasting bandwidth on those stages for large P2; a packed
+    # layout with halo re-alignment would fix that (future work).
+
+    def _pallas_dist_ok(self, dealias) -> bool:
+        import os
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if self.policy.path != "native" or self.float != np.float32:
+            return False
+        if not (jax.default_backend() == "tpu"
+                or os.environ.get("MPIFFT4PY_TPU_PALLAS_DIST") == "force"):
+            return False
+        if dealias == "3/2-rule" or self.alignment != "X" or self.P2 > 128:
+            return False
+        from .ops import pallas_fft3d as p3
+        N0, N1, N2 = (int(n) for n in self.N)
+        return (p3.supported_r2c(N2) and p3.supported_c2c(N0)
+                and p3.supported_c2c(N1))
+
+    def _fit_width(self, yr, yi, w):
+        if yr.shape[-1] > w:
+            return yr[..., :w], yi[..., :w]
+        if yr.shape[-1] < w:
+            pad = [(0, 0)] * (yr.ndim - 1) + [(0, w - yr.shape[-1])]
+            return jnp.pad(yr, pad), jnp.pad(yi, pad)
+        return yr, yi
+
+    def _fwd_dist_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        yr, yi = p3.rfft_last_planar(u)           # (n0, n1, round_up(Nf,128))
+        yr, yi = self._fit_width(yr, yi, self.Nfp)
+        pair = self._stage((yr, yi), AXIS2, 2, 1,
+                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=1),
+                           pipeline_axis=0)
+        pair = self._stage(pair, AXIS1, 1, 0,
+                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                           pipeline_axis=2)
+        x = lax.complex(pair[0], pair[1])
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_dist_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        pr = jnp.real(fu).astype(jnp.float32)
+        pi = jnp.imag(fu).astype(jnp.float32)
+        pair = self._stage((pr, pi), AXIS1, 0, 1, pipeline_axis=2,
+                           pre_fn=lambda t: p3.fft_axis_planar(
+                               t[0], t[1], axis=0, inverse=True))
+        pair = self._stage(pair, AXIS2, 1, 2, pipeline_axis=0,
+                           pre_fn=lambda t: p3.fft_axis_planar(
+                               t[0], t[1], axis=1, inverse=True))
+        w = p3._round_up(self.Nf, 128)
+        yr, yi = self._fit_width(pair[0][..., :self.Nf], pair[1][..., :self.Nf], w)
+        return p3.irfft_last_planar(yr, yi, int(self.N[2])).astype(self.float)
+
     def _fwd_local(self, u, dealias):
+        if self._pallas_dist_ok(dealias):
+            return self._fwd_dist_pallas(u, dealias)
         padded = dealias == "3/2-rule"
         N0, N1 = int(self.N[0]), int(self.N[1])
         x = fc.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
@@ -292,6 +361,8 @@ class R2C(BaseFFT):
         return x.at[..., off].set(sym)
 
     def _bwd_local(self, fu, dealias):
+        if self._pallas_dist_ok(dealias):
+            return self._bwd_dist_pallas(fu, dealias)
         padded = dealias == "3/2-rule"
         M0, M1 = int(self.M[0]), int(self.M[1])
         if dealias == "2/3-rule":

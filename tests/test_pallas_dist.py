@@ -13,7 +13,7 @@ import pytest
 
 from jax.experimental.pallas import tpu as pltpu
 
-from mpifft4py_tpu import slab
+from mpifft4py_tpu import slab, pencil
 
 TAU = 2 * np.pi
 
@@ -79,6 +79,40 @@ def test_batched_kernels_vs_numpy(rng):
     assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
     ub = np.asarray(p3.irfft3d(jnp.asarray(fu.astype(np.complex64)),
                                (8, 16, 256)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+@pytest.mark.parametrize("dealias", [None, "2/3-rule"])
+def test_pencil_dist_pallas_vs_numpy(rng, dealias):
+    """Pencil planar MXU local stages through both grouped all-to-alls."""
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single", P1=2)
+    assert FFT._pallas_dist_ok(dealias)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u), dealias=dealias))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    if dealias == "2/3-rule":
+        filt = np.asarray(FFT.get_dealias_filter()).astype(bool)
+        ref = np.where(filt[..., :FFT.Nf], ref, 0)
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+    assert np.all(fu[..., FFT.Nf:] == 0)
+    if dealias is None:
+        ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+        assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+def test_line_dist_pallas_vs_numpy(rng):
+    """2D line transform's distributed MXU local stages (block-chunked a2a)."""
+    from mpifft4py_tpu import line
+
+    shape = (16, 256)
+    FFT = line.R2C(np.array(shape), np.array([TAU] * 2), 4, "single")
+    assert FFT._pallas_dist_ok(None)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fft2(FFT.shard_real(u)))
+    ref = np.fft.rfft2(u.astype(np.float64))
+    assert np.abs(fu[:, :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifft2(FFT.shard_complex(fu)))
     assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
 
 
