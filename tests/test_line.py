@@ -20,13 +20,13 @@ def test_fft2_vs_numpy(rng, P, precision):
     u = rng.standard_normal((N, N)).astype(FFT.float)
     fu = np.asarray(FFT.fft2(FFT.shard_real(u)))
     ref = np.fft.rfft2(u.astype(np.float64))
-    tol = 2e-4 if precision == "single" else 1e-11
+    rtol = 1e-6 if precision == "single" else 1e-12
     # result is alignment-padded along the rfft axis: valid modes, then zeros
     assert fu.shape == FFT.global_complex_shape()
-    assert np.allclose(fu[:, :FFT.Nf], ref, atol=tol * N * N)
+    assert np.abs(fu[:, :FFT.Nf] - ref).max() / np.abs(ref).max() < rtol
     assert np.all(fu[:, FFT.Nf:] == 0)
     ub = FFT.ifft2(FFT.shard_complex(fu))
-    assert np.allclose(np.asarray(ub), u, atol=tol)
+    assert np.abs(np.asarray(ub) - u).max() / np.abs(u).max() < rtol
 
 
 def test_config2_512sq(rng):

@@ -26,12 +26,13 @@ def test_r2c_vs_numpy(rng, P, precision):
     u = rng.standard_normal((N, N, N)).astype(FFT.float)
     fu = FFT.fftn(FFT.shard_real(u))
     ref = np.fft.rfftn(u.astype(np.float64))
-    tol = 2e-4 if precision == "single" else 1e-11
+    # relative oracle (a silent precision regression must fail this)
+    rtol = 1e-6 if precision == "single" else 1e-12
     assert fu.shape == FFT.global_complex_shape()
-    assert np.allclose(np.asarray(fu), ref, atol=tol * N ** 3)
+    assert np.abs(np.asarray(fu) - ref).max() / np.abs(ref).max() < rtol
     # round trip
     ub = FFT.ifftn(fu)
-    assert np.allclose(np.asarray(ub), u, atol=tol)
+    assert np.abs(np.asarray(ub) - u).max() / np.abs(u).max() < rtol
 
 
 def test_r2c_config1_64cubed(rng):
