@@ -22,6 +22,7 @@ __version__ = "0.1.0"
 
 from .mpibase import datatypes, work_arrays, resolve_precision, DTypePolicy  # noqa: F401
 from .utils.transfer import to_numpy, device_put  # noqa: F401
+from .utils.io import save_field, load_field, save_state, load_state  # noqa: F401
 from .serialFFT import (  # noqa: F401
     fft, ifft, fft2, ifft2, fftn, ifftn,
     rfft, irfft, rfft2, irfft2, rfftn, irfftn,

@@ -8,8 +8,10 @@ even a logger"); this is the TPU-native build's observability tier.
   decomposition geometry, and achieved GB/s/chip given a measured time — the
   driver's headline secondary metric (BASELINE.json: "transpose GB/s/chip").
 * ``trace(path)`` — ``jax.profiler`` wrapper for xprof/tensorboard dumps.
-* ``stage_report(FFT, u)`` — times each stage of the forward pipeline
-  (local yz-FFT, transpose, axis-0 FFT) separately.
+* ``stage_report(FFT)`` — one-call round-trip timing + derived transpose
+  bandwidth (stages inside one jitted SPMD program are fused by design, so
+  the report times the whole pipeline and attributes collective traffic from
+  the decomposition geometry).
 
 Quiet by default: nothing here runs unless called (reference stance kept).
 """
@@ -27,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["measure", "transpose_stats", "trace", "TransposeStats"]
+__all__ = ["measure", "transpose_stats", "trace", "TransposeStats",
+           "stage_report"]
 
 
 def measure(fn: Callable, x, iters: int = 10) -> float:
@@ -74,6 +77,33 @@ def transpose_stats(FFT, seconds: float = 0.0) -> TransposeStats:
     local = int(np.prod(shape)) * c
     frac = (FFT.P - 1) / FFT.P
     return TransposeStats(int(2 * local * frac), 2, seconds)
+
+
+def stage_report(FFT, u=None, dealias=None, iters: int = 10) -> dict:
+    """Round-trip timing + transpose-bandwidth attribution for a transform.
+
+    Returns {"roundtrip_ms", "per_direction_ms", "a2a_bytes_per_device",
+    "collectives_per_roundtrip", "transpose_GBps_chip"}.  ``u`` defaults to a
+    random physical field.  Relay-safe (in-jit scan chain).
+    """
+    if u is None:
+        rng = np.random.default_rng(0)
+        host = rng.standard_normal(FFT.global_real_shape())
+        if FFT.policy.path == "doubleword":
+            u = FFT.shard_real_dd(host)
+        else:
+            u = FFT.shard_real(host.astype(FFT.float))
+    fwd = FFT.forward_fn(dealias)
+    bwd = FFT.backward_fn(dealias if dealias == "3/2-rule" else None)
+    t_rt = measure(lambda v: bwd(fwd(v)), u, iters=iters)
+    st = transpose_stats(FFT, t_rt)
+    return {
+        "roundtrip_ms": t_rt * 1e3,
+        "per_direction_ms": t_rt * 1e3 / 2,
+        "a2a_bytes_per_device": st.bytes_per_device,
+        "collectives_per_roundtrip": st.collectives,
+        "transpose_GBps_chip": st.gb_per_s_per_chip,
+    }
 
 
 @contextlib.contextmanager

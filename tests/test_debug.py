@@ -30,3 +30,14 @@ def test_debug_mode_traps_nans():
     with debug_mode():
         with pytest.raises(FloatingPointError):
             jax.jit(lambda x: jnp.log(x))(jnp.zeros(4) - 1.0).block_until_ready()
+
+
+def test_stage_report(rng):
+    from mpifft4py_tpu import slab
+    from mpifft4py_tpu.utils.profiling import stage_report
+
+    FFT = slab.R2C(np.array([16] * 3), np.array([2 * np.pi] * 3), 4, "single")
+    rep = stage_report(FFT, iters=2)
+    assert rep["roundtrip_ms"] > 0
+    assert rep["collectives_per_roundtrip"] == 2
+    assert rep["a2a_bytes_per_device"] > 0
