@@ -28,10 +28,9 @@ from .mpibase import DTypePolicy, resolve_precision, work_arrays
 from .parallel.mesh import mesh_size
 from .utils.transfer import device_put as _device_put, to_numpy
 
-try:  # JAX >= 0.4.35 exposes shard_map at top level
-    shard_map = jax.shard_map
-except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+# jax >= 0.4.35 (we require it: check_vma below is not in the old
+# jax.experimental.shard_map signature)
+shard_map = jax.shard_map
 
 
 def local_wavenumber_full(n_global: int, n_local: int, block_index, dtype) -> jnp.ndarray:
@@ -138,7 +137,10 @@ class BaseFFT:
 
     def _smap(self, fn, in_specs, out_specs):
         # check_vma=False: pallas_call results inside shard_map carry no
-        # varying-mesh-axes metadata (the distributed MXU local stages)
+        # varying-mesh-axes metadata, and whether the MXU local stages engage
+        # is a per-call runtime gate, so the flag is off for all transforms.
+        # Trade-off (deliberate): we lose trace-time replication checking;
+        # out_specs correctness is covered by the numpy-oracle test matrix.
         return shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
 

@@ -23,9 +23,12 @@ def _hermitian_weights(FFT):
     """
     nfp = FFT.global_complex_shape()[-1]
     n_last = int(FFT.N[-1])
-    if nfp == n_last:  # c2c layout: full last axis, no Hermitian folding
+    # c2c transforms (slab.C2C) have no Nf attribute — full last axis, unit
+    # weights.  (Storage width nfp is NOT a valid discriminator: pencil/line
+    # alignment padding can make Nfp == N while the layout is still r2c.)
+    nf = getattr(FFT, "Nf", None)
+    if nf is None:
         return jnp.ones((nfp,), jnp.float32)
-    nf = FFT.Nf if hasattr(FFT, "Nf") else n_last // 2 + 1
     k = np.arange(nfp)
     w = np.where((k == 0) | (k == n_last // 2), 1.0, 2.0)
     w[k >= nf] = 0.0

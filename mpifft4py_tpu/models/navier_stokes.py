@@ -61,16 +61,10 @@ class NavierStokes3D:
         self._fwd = FFT.forward_fn(dealias=dealias)
         self._fwd_plain = FFT.forward_fn()
         self._bwd = FFT.backward_fn()
-        # Batched stacks: the RHS inverts 6 fields (velocity + vorticity) and
-        # forwards 3 (nonlinear term) — each stack rides one batched kernel
-        # chain on the serial MXU path (forward_fields_fn).
-        self._fwd_fields = FFT.forward_fields_fn(dealias=dealias)
         # 3/2-rule: the nonlinear term is evaluated on the padsize×-refined grid
         # (padded inverse → physical product → padded/truncating forward);
         # 2/3-rule works on the N grid with the spectral mask in the forward.
         self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
-        self._bwd_nl_fields = FFT.backward_fields_fn(
-            dealias if dealias == "3/2-rule" else None)
         self._step = None
 
     # -- packed spectral layout (MXU fast path without complex boundaries) -----
@@ -86,11 +80,13 @@ class NavierStokes3D:
     def _validate_packed(self):
         import jax as _jax
         import os
+        from ..ops import pallas_fft3d as p3
         FFT = self.FFT
         N = [int(n) for n in FFT.N]
         ok = (getattr(FFT, "P", 0) == 1 and FFT.policy.path == "native"
               and FFT.float == np.float32 and (N[2] // 2) % 128 == 0
-              and self.dealias == "2/3-rule")
+              and p3.supported_r2c(N[2]) and p3.supported_c2c(N[0])
+              and p3.supported_c2c(N[1]) and self.dealias == "2/3-rule")
         if not ok:
             raise ValueError(
                 "spectral_layout='packed' needs a single-device slab R2C, "

@@ -488,6 +488,18 @@ def irfft_last_packed(xr, xi, n: int):
     return y.reshape(xr.shape[:-1] + (n,))
 
 
+def fit_width(yr, yi, w: int):
+    """Truncate or zero-pad the last (planar spectral) axis to width ``w`` —
+    converts between kernel widths (round_up(Nf, 128)) and decomposition
+    alignment widths (Nfp)."""
+    if yr.shape[-1] > w:
+        return yr[..., :w], yi[..., :w]
+    if yr.shape[-1] < w:
+        pad = [(0, 0)] * (yr.ndim - 1) + [(0, w - yr.shape[-1])]
+        return jnp.pad(yr, pad), jnp.pad(yi, pad)
+    return yr, yi
+
+
 def _flipconj(qr, qi, axes):
     """conj(Q(-k)) with wraparound along ``axes``."""
     fr = jnp.roll(jnp.flip(qr, axis=axes), shift=(1,) * len(axes), axis=axes)

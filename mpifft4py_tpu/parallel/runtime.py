@@ -122,13 +122,21 @@ def hybrid_mesh(ici_shape: Sequence[int], axis_names: Sequence[str],
             raise ValueError(
                 f"each ICI granule must have exactly prod(ici_shape)={per} "
                 f"devices; got granule sizes {[len(x) for x in groups]}")
-    try:  # physical-topology-aware layout when real TPUs are present
+    want = (len(groups),) + tuple(ici_shape)
+    try:  # physical-topology-aware layout when real TPUs are present.
+        # create_hybrid_device_mesh takes same-rank shapes whose elementwise
+        # product is the result shape: per-granule (1, *ici) × across-granule
+        # (G, 1, …) → (G, *ici) with the DCN axis leading.
         from jax.experimental import mesh_utils
         arr = mesh_utils.create_hybrid_device_mesh(
-            tuple(ici_shape), (len(groups),), devices=devs,
-            process_is_granule=False)
-        # create_hybrid_device_mesh puts DCN axes last; move to front
-        arr = np.moveaxis(arr, -1, 0)
+            (1,) + tuple(ici_shape), (len(groups),) + (1,) * len(ici_shape),
+            devices=devs, process_is_granule=False)
+        if arr.shape != want:
+            raise ValueError(f"hybrid mesh shape {arr.shape} != {want}")
+        # inner axes must never cross a granule boundary
+        for g in range(len(groups)):
+            if len({_granule_key(d) for d in arr[g].ravel()}) != 1:
+                raise ValueError("granule mixing in hybrid mesh")
     except Exception:
         arr = np.array([np.asarray(g).reshape(tuple(ici_shape)) for g in groups])
     return Mesh(arr, (dcn_axis,) + tuple(axis_names))

@@ -253,18 +253,10 @@ class R2C(BaseFFT):
         return (p3.supported_r2c(N2) and p3.supported_c2c(N0)
                 and p3.supported_c2c(N1))
 
-    def _fit_width(self, yr, yi, w):
-        if yr.shape[-1] > w:
-            return yr[..., :w], yi[..., :w]
-        if yr.shape[-1] < w:
-            pad = [(0, 0)] * (yr.ndim - 1) + [(0, w - yr.shape[-1])]
-            return jnp.pad(yr, pad), jnp.pad(yi, pad)
-        return yr, yi
-
     def _fwd_dist_pallas(self, u, dealias):
         from .ops import pallas_fft3d as p3
         yr, yi = p3.rfft_last_planar(u)           # (n0, n1, round_up(Nf,128))
-        yr, yi = self._fit_width(yr, yi, self.Nfp)
+        yr, yi = p3.fit_width(yr, yi, self.Nfp)
         pair = self._stage((yr, yi), AXIS2, 2, 1,
                            lambda t: p3.fft_axis_planar(t[0], t[1], axis=1),
                            pipeline_axis=0)
@@ -289,7 +281,7 @@ class R2C(BaseFFT):
                            pre_fn=lambda t: p3.fft_axis_planar(
                                t[0], t[1], axis=1, inverse=True))
         w = p3._round_up(self.Nf, 128)
-        yr, yi = self._fit_width(pair[0][..., :self.Nf], pair[1][..., :self.Nf], w)
+        yr, yi = p3.fit_width(pair[0][..., :self.Nf], pair[1][..., :self.Nf], w)
         return p3.irfft_last_planar(yr, yi, int(self.N[2])).astype(self.float)
 
     def _fwd_local(self, u, dealias):

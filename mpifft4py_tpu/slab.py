@@ -325,8 +325,11 @@ class _Slab3D(BaseFFT):
             return False
         from .ops import pallas_fft3d as p3
         N0, N1, N2 = (int(n) for n in self.N)
-        return ((N2 // 2) % 128 == 0 and p3.supported_c2c(N0)
-                and p3.supported_c2c(N1))
+        # supported_r2c caps the z width: the packed kernels stage (n, n/2)
+        # constant matrices in VMEM, so an unchecked huge N2 would blow the
+        # 16 MB scoped limit instead of falling back to the XLA tier
+        return ((N2 // 2) % 128 == 0 and p3.supported_r2c(N2)
+                and p3.supported_c2c(N0) and p3.supported_c2c(N1))
 
     def _fwd_dist_pallas(self, u, dealias):
         from .ops import pallas_fft3d as p3
@@ -348,17 +351,10 @@ class _Slab3D(BaseFFT):
 
     def _bwd_dist_pallas(self, fu, dealias):
         from .ops import pallas_fft3d as p3
-        nf = self._lastf
         N2 = int(self.N[2])
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
-        qr, qi = p3.pack_plane0(fu[..., 0], fu[..., nf - 1])  # pointwise
-        br = jnp.concatenate([qr[..., None],
-                              jnp.real(fu[..., 1:nf - 1]).astype(jnp.float32)],
-                             axis=-1)
-        bi = jnp.concatenate([qi[..., None],
-                              jnp.imag(fu[..., 1:nf - 1]).astype(jnp.float32)],
-                             axis=-1)
+        br, bi = p3.pack_spectrum(fu)                        # pointwise
         yr, yi = self._stage((br, bi), AXIS, 0, 1, pipeline_axis=2,
                              pre_fn=lambda t: p3.fft_axis_planar(
                                  t[0], t[1], axis=0, inverse=True))

@@ -88,7 +88,11 @@ def stage_report(FFT, u=None, dealias=None, iters: int = 10) -> dict:
     """
     if u is None:
         rng = np.random.default_rng(0)
-        host = rng.standard_normal(FFT.global_real_shape())
+        # 3/2-rule forward consumes the padded (M) grid — the round trip
+        # fwd(3/2) ∘ bwd(3/2) is M-grid-preserving
+        shape = (FFT.global_real_shape_padded() if dealias == "3/2-rule"
+                 else FFT.global_real_shape())
+        host = rng.standard_normal(shape)
         if FFT.policy.path == "doubleword":
             u = FFT.shard_real_dd(host)
         else:

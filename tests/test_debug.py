@@ -41,3 +41,14 @@ def test_stage_report(rng):
     assert rep["roundtrip_ms"] > 0
     assert rep["collectives_per_roundtrip"] == 2
     assert rep["a2a_bytes_per_device"] > 0
+
+
+def test_stage_report_padded(rng):
+    """Regression (r2 review): dealias='3/2-rule' round trip is M-grid
+    preserving; stage_report must feed it the padded grid."""
+    from mpifft4py_tpu import slab
+    from mpifft4py_tpu.utils.profiling import stage_report
+
+    FFT = slab.R2C(np.array([16] * 3), np.array([2 * np.pi] * 3), 4, "single")
+    rep = stage_report(FFT, dealias="3/2-rule", iters=2)
+    assert rep["roundtrip_ms"] > 0

@@ -34,3 +34,19 @@ def test_inviscid_energy_conservation():
         U = s.step(U)
     e1 = s.energy(U)
     assert abs(e1 - e0) / e0 < 1e-9   # conservative to RK4 truncation order
+
+
+def test_hermitian_weights_pencil_full_padding(rng):
+    """Regression (r2 review): pencil with Nfp == N (alignment padding fills
+    the axis) must still get r2c weights, not the c2c unit weights."""
+    from mpifft4py_tpu import pencil
+    from mpifft4py_tpu.models.diagnostics import _hermitian_weights
+
+    N = 16
+    FFT = pencil.R2C(np.array([N] * 3), np.array([2 * np.pi] * 3), 8,
+                     "double", P1=1)  # P2=8: Nfp = ceil(9/8)*8 = 16 == N
+    assert FFT.Nfp == N
+    w = np.asarray(_hermitian_weights(FFT))
+    assert w[0] == 1.0 and w[N // 2] == 1.0
+    assert np.all(w[1:N // 2] == 2.0)
+    assert np.all(w[FFT.Nf:] == 0.0)
