@@ -44,9 +44,15 @@ def main():
     layout = "packed" if ("--packed" in sys.argv or
                           (FFT.P == 1 and jax.default_backend() == "tpu"
                            and (N // 2) % 128 == 0)) else "complex"
-    print(f"spectral_layout={layout}")
+    # LSRK54 (2N-storage) halves the live state vs classical RK4 — the 512³
+    # single-chip configuration; pick with --integrator=LSRK54
+    integ = "RK4"
+    for a in sys.argv:
+        if a.startswith("--integrator="):
+            integ = a.split("=", 1)[1]
+    print(f"spectral_layout={layout} integrator={integ}")
     solver = NavierStokes3D(FFT, nu=1.0 / 1600.0, dt=0.005, dealias="2/3-rule",
-                            spectral_layout=layout)
+                            spectral_layout=layout, integrator=integ)
     U_hat = solver.taylor_green()
     print(f"t=0      E={solver.energy(U_hat):.8f}")
 

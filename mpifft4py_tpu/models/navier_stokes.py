@@ -28,6 +28,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Carpenter & Kennedy (1994) five-stage fourth-order low-storage ("2N") RK.
+# Memory: one state + one accumulator live across stages — at 512³ this is
+# what lets a full DNS step fit in one chip's HBM where classical RK4's
+# k1..k4 width cannot (see BENCH.md).
+_LSRK54_A = (
+    0.0,
+    -567301805773.0 / 1357537059087.0,
+    -2404267990393.0 / 2016746695238.0,
+    -3550918686646.0 / 2091501179385.0,
+    -1275806237668.0 / 842570457699.0,
+)
+_LSRK54_B = (
+    1432997174477.0 / 9575080441755.0,
+    5161836677717.0 / 13612068292357.0,
+    1720146321549.0 / 2090206949498.0,
+    3134564353537.0 / 4481467310338.0,
+    2277821191437.0 / 14882151754819.0,
+)
+
+INTEGRATORS = ("RK4", "LSRK54", "Euler", "AB2")
+
 
 class NavierStokes3D:
     """RK4 pseudo-spectral solver over a slab or pencil transform object.
@@ -38,14 +59,23 @@ class NavierStokes3D:
       dt: timestep.
       dealias: None | "2/3-rule" | "3/2-rule" — applied to the nonlinear term's
         forward transforms (reference DNS loop convention).
+      integrator: one of INTEGRATORS — "RK4" (classical, default),
+        "LSRK54" (Carpenter–Kennedy 2N-storage RK4(5): ~half the live state,
+        the 512³-on-one-chip configuration), "Euler", "AB2"
+        (Adams–Bashforth 2; state is (U, f_prev) — see ``ab2_state``).
+        The same set spectralDNS exposed on top of the reference transforms.
     """
 
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
-                 spectral_layout: str = "complex"):
+                 spectral_layout: str = "complex", integrator: str = "RK4"):
         self.FFT = FFT
         self.nu = float(nu)
         self.dt = float(dt)
         self.dealias = dealias
+        if integrator not in INTEGRATORS:
+            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
+                             f"got {integrator!r}")
+        self.integrator = integrator
         if spectral_layout not in ("complex", "packed"):
             raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
                              f"got {spectral_layout!r}")
@@ -141,20 +171,11 @@ class NavierStokes3D:
         return Fr - self.nu * K2[None] * Ur, Fi - self.nu * K2[None] * Ui
 
     def step_fn_packed(self):
-        """Jittable RK4 step on the packed pair: ((Ur, Ui), K, K2, KK, mask)."""
-        dt = self.dt
-        rhs = self.rhs_packed
-
+        """Jittable step on the packed pair: ((Ur, Ui), K, K2, KK, mask),
+        through whichever ``integrator`` was selected."""
         def step(U, K, K2, KK, mask):
-            def add(a, k, c):
-                return (a[0] + c * k[0], a[1] + c * k[1])
-            k1 = rhs(U[0], U[1], K, K2, KK, mask)
-            k2 = rhs(*add(U, k1, 0.5 * dt), K, K2, KK, mask)
-            k3 = rhs(*add(U, k2, 0.5 * dt), K, K2, KK, mask)
-            k4 = rhs(*add(U, k3, dt), K, K2, KK, mask)
-            c = dt / 6.0
-            return (U[0] + c * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
-                    U[1] + c * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
+            rhs1 = lambda V: self.rhs_packed(V[0], V[1], K, K2, KK, mask)
+            return self._advance(rhs1, U)
         return step
 
     def energy_packed(self, U) -> float:
@@ -215,8 +236,53 @@ class NavierStokes3D:
         F_hat = F_hat - K_over_K2 * div[None]
         return F_hat - self.nu * K2[None] * U_hat
 
+    # -- time integrators (pytree-generic: complex array, packed pair, AB2) ----
+
+    def _advance(self, rhs1, U):
+        """One step of ``self.integrator`` on pytree state ``U`` with pytree
+        right-hand side ``rhs1``.  AB2 state is (U, f_prev) — built once by
+        ``ab2_state``; its first application is the Euler-equivalent seed."""
+        dt = self.dt
+        tm = jax.tree.map
+        it = self.integrator
+        if it == "RK4":
+            k1 = rhs1(U)
+            k2 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k1))
+            k3 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k2))
+            k4 = rhs1(tm(lambda u, k: u + dt * k, U, k3))
+            return tm(lambda u, a, b, c, d: u + (dt / 6.0) * (a + 2 * b + 2 * c + d),
+                      U, k1, k2, k3, k4)
+        if it == "LSRK54":
+            dU = None
+            for a, b in zip(_LSRK54_A, _LSRK54_B):
+                r = rhs1(U)
+                dU = r if dU is None else tm(lambda f, g: f + a * g, r, dU)
+                U = tm(lambda u, g: u + dt * b * g, U, dU)
+            return U
+        if it == "Euler":
+            return tm(lambda u, k: u + dt * k, U, rhs1(U))
+        # AB2: U_{n+1} = U_n + dt (1.5 f_n − 0.5 f_{n−1})
+        Un, fprev = U
+        f = rhs1(Un)
+        Unew = tm(lambda u, a, b: u + dt * (1.5 * a - 0.5 * b), Un, f, fprev)
+        return (Unew, f)
+
+    def ab2_state(self, U):
+        """Wrap a spectral state for integrator='AB2': (U, f_prev) with
+        f_prev = f(U), so the first step reduces to Euler."""
+        if self.integrator != "AB2":
+            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
+        if self.spectral_layout == "packed":
+            K, K2, KK, mask = self._step_args()
+            f = jax.jit(lambda V, *a: self.rhs_packed(V[0], V[1], *a))(
+                U, K, K2, KK, mask)
+        else:
+            f = jax.jit(self.rhs)(U, *self._step_args())
+        return (U, f)
+
     def step_fn(self):
-        """The jittable RK4 step: (U_hat, K, K2, K_over_K2) -> U_hat.
+        """The jittable step: (U_hat, K, K2, K_over_K2) -> U_hat (for AB2 the
+        state is the ``ab2_state`` tuple on both sides).
 
         The wavenumber arrays are explicit ARGUMENTS, not closures: closing
         over device-resident arrays makes jit inline them as constants, which
@@ -224,16 +290,8 @@ class NavierStokes3D:
         backends with restricted transfers (axon relay) and a waste of HBM
         (constants get re-uploaded per executable) everywhere else.
         """
-        dt = self.dt
-        rhs = self.rhs
-
         def step(U_hat, K, K2, KK):
-            k1 = rhs(U_hat, K, K2, KK)
-            k2 = rhs(U_hat + 0.5 * dt * k1, K, K2, KK)
-            k3 = rhs(U_hat + 0.5 * dt * k2, K, K2, KK)
-            k4 = rhs(U_hat + dt * k3, K, K2, KK)
-            return U_hat + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-
+            return self._advance(lambda V: self.rhs(V, K, K2, KK), U_hat)
         return step
 
     def _step_args(self):

@@ -43,6 +43,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .base import BaseFFT, local_wavenumber_full
+from .slab import _PackedDist1D
 from .parallel.mesh import AXIS1, AXIS2, pencil_mesh, check_divisible
 from .ops import fft_core as fc
 from .utils.spectral import (
@@ -57,10 +58,11 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-class R2C(BaseFFT):
+class R2C(_PackedDist1D, BaseFFT):
     """Real ↔ complex 3D pencil transform (reference: mpiFFT4py/pencil.py R2C)."""
 
     ndim = 3
+    _dist_axis = AXIS1  # the one live transpose axis when P2 == 1 (packed path)
 
     def __init__(self, N, L, comm=None, precision: str = "single", *,
                  P1=None, alignment: str = "X", **kw):
@@ -237,7 +239,7 @@ class R2C(BaseFFT):
     # lane dim, wasting bandwidth on those stages for large P2; a packed
     # layout with halo re-alignment would fix that (future work).
 
-    def _pallas_dist_ok(self, dealias) -> bool:
+    def _kernel_gates_ok(self, dealias) -> bool:
         import os
         if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
             return False
@@ -246,14 +248,25 @@ class R2C(BaseFFT):
         if not (jax.default_backend() == "tpu"
                 or os.environ.get("MPIFFT4PY_TPU_PALLAS_DIST") == "force"):
             return False
-        if dealias == "3/2-rule" or self.alignment != "X" or self.P2 > 128:
+        if dealias == "3/2-rule" or self.alignment != "X":
             return False
         from .ops import pallas_fft3d as p3
         N0, N1, N2 = (int(n) for n in self.N)
         return (p3.supported_r2c(N2) and p3.supported_c2c(N0)
                 and p3.supported_c2c(N1))
 
-    def _fwd_dist_pallas(self, u, dealias):
+    def _packed_dist_ok(self, dealias) -> bool:
+        # P2 == 1: the first (P2-group) all-to-all is degenerate and the
+        # choreography collapses to slab's single transpose over P1 — run the
+        # packed-Hermitian MXU pipeline (_PackedDist1D, z-width exactly N2/2,
+        # no Nfp lane padding, fused z+y eligible).  Output width Nf == Nfp.
+        return (self.P2 == 1 and (int(self.N[2]) // 2) % 128 == 0
+                and self._kernel_gates_ok(dealias))
+
+    def _pallas_dist_ok(self, dealias) -> bool:
+        return self.P2 <= 128 and self._kernel_gates_ok(dealias)
+
+    def _fwd_dist_planar(self, u, dealias):
         from .ops import pallas_fft3d as p3
         yr, yi = p3.rfft_last_planar(u)           # (n0, n1, round_up(Nf,128))
         yr, yi = p3.fit_width(yr, yi, self.Nfp)
@@ -268,7 +281,7 @@ class R2C(BaseFFT):
             x = jnp.where(self._dealias_local(), x, 0)
         return x
 
-    def _bwd_dist_pallas(self, fu, dealias):
+    def _bwd_dist_planar(self, fu, dealias):
         from .ops import pallas_fft3d as p3
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
@@ -285,8 +298,10 @@ class R2C(BaseFFT):
         return p3.irfft_last_planar(yr, yi, int(self.N[2])).astype(self.float)
 
     def _fwd_local(self, u, dealias):
+        if self._packed_dist_ok(dealias):
+            return self._fwd_dist_pallas(u, dealias)   # _PackedDist1D (slab-class)
         if self._pallas_dist_ok(dealias):
-            return self._fwd_dist_pallas(u, dealias)
+            return self._fwd_dist_planar(u, dealias)
         padded = dealias == "3/2-rule"
         N0, N1 = int(self.N[0]), int(self.N[1])
         x = fc.rfft(u, axis=2)                    # (n0, n1, Nf|Mf)
@@ -353,8 +368,10 @@ class R2C(BaseFFT):
         return x.at[..., off].set(sym)
 
     def _bwd_local(self, fu, dealias):
+        if self._packed_dist_ok(dealias):
+            return self._bwd_dist_pallas(fu, dealias)   # _PackedDist1D
         if self._pallas_dist_ok(dealias):
-            return self._bwd_dist_pallas(fu, dealias)
+            return self._bwd_dist_planar(fu, dealias)
         padded = dealias == "3/2-rule"
         M0, M1 = int(self.M[0]), int(self.M[1])
         if dealias == "2/3-rule":

@@ -51,7 +51,68 @@ from .utils.spectral import (
 __all__ = ["R2C", "C2C"]
 
 
-class _Slab3D(BaseFFT):
+class _PackedDist1D:
+    """Packed-Hermitian MXU pipeline for R2C transforms whose distributed
+    choreography is ONE 1D transpose: slab always; pencil when its second
+    mesh axis is degenerate (P2 == 1, so the first all-to-all vanishes and
+    the remaining choreography is exactly slab's).  Mixin over BaseFFT;
+    ``_dist_axis`` names the mesh axis the transpose rides."""
+
+    _dist_axis = AXIS
+
+    def _fwd_dist_pallas(self, u, dealias):
+        from .ops import pallas_fft3d as p3
+        N1, N2 = int(self.N[1]), int(self.N[2])
+        if p3._use_fused_zy(N1, N2):
+            yr, yi = p3.fused_zy_fwd(u)             # (Np0, N1, h), y done
+        else:
+            yr, yi = p3.rfft_last_packed(u)
+            yr, yi = p3.fft_axis_planar(yr, yi, axis=1)
+        yr, yi = self._stage((yr, yi), self._dist_axis, 1, 0,
+                             lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                             pipeline_axis=2)       # (N0, Np1, h), all axes done
+        p0, pny = self._unpack_plane0_dist(yr, yi)
+        body = lax.complex(yr, yi)[..., 1:]
+        x = jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
+        if dealias == "2/3-rule":
+            x = jnp.where(self._dealias_local(), x, 0)
+        return x
+
+    def _bwd_dist_pallas(self, fu, dealias):
+        from .ops import pallas_fft3d as p3
+        N2 = int(self.N[2])
+        if dealias == "2/3-rule":
+            fu = jnp.where(self._dealias_local(), fu, 0)
+        br, bi = p3.pack_spectrum(fu)                        # pointwise
+        yr, yi = self._stage((br, bi), self._dist_axis, 0, 1, pipeline_axis=2,
+                             pre_fn=lambda t: p3.fft_axis_planar(
+                                 t[0], t[1], axis=0, inverse=True))
+        if p3._use_fused_zy(int(self.N[1]), N2):
+            return p3.fused_zy_bwd(yr, yi, N2).astype(self.float)
+        yr, yi = p3.fft_axis_planar(yr, yi, axis=1, inverse=True)
+        return p3.irfft_last_packed(yr, yi, N2).astype(self.float)
+
+    def _unpack_plane0_dist(self, yr, yi):
+        """Separate the packed plane-0 riders: needs conj(Q(−k)) over the
+        global (k0, k1) plane; k1 is sharded, so gather just that plane."""
+        from .ops import pallas_fft3d as p3
+        qr, qi = yr[..., 0], yi[..., 0]                 # (N0, Np1)
+        if self.P == 1:
+            cr, ci = p3._flipconj(qr, qi, (0, 1))
+        else:
+            gr = lax.all_gather(qr, self._dist_axis, axis=1, tiled=True)
+            gi = lax.all_gather(qi, self._dist_axis, axis=1, tiled=True)
+            fr, fi = p3._flipconj(gr, gi, (0, 1))
+            np1 = qr.shape[1]
+            r = lax.axis_index(self._dist_axis)
+            cr = lax.dynamic_slice_in_dim(fr, r * np1, np1, 1)
+            ci = lax.dynamic_slice_in_dim(fi, r * np1, np1, 1)
+        p0 = lax.complex(0.5 * (qr + cr), 0.5 * (qi + ci))
+        pny = lax.complex(0.5 * (qi - ci), -0.5 * (qr - cr))
+        return p0, pny
+
+
+class _Slab3D(_PackedDist1D, BaseFFT):
     """Shared slab machinery; subclasses fix the last-axis layout (half vs full)."""
 
     ndim = 3
@@ -330,57 +391,6 @@ class _Slab3D(BaseFFT):
         # 16 MB scoped limit instead of falling back to the XLA tier
         return ((N2 // 2) % 128 == 0 and p3.supported_r2c(N2)
                 and p3.supported_c2c(N0) and p3.supported_c2c(N1))
-
-    def _fwd_dist_pallas(self, u, dealias):
-        from .ops import pallas_fft3d as p3
-        N1, N2 = int(self.N[1]), int(self.N[2])
-        if p3._use_fused_zy(N1, N2):
-            yr, yi = p3.fused_zy_fwd(u)             # (Np0, N1, h), y done
-        else:
-            yr, yi = p3.rfft_last_packed(u)
-            yr, yi = p3.fft_axis_planar(yr, yi, axis=1)
-        yr, yi = self._stage((yr, yi), AXIS, 1, 0,
-                             lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
-                             pipeline_axis=2)       # (N0, Np1, h), all axes done
-        p0, pny = self._unpack_plane0_dist(yr, yi)
-        body = lax.complex(yr, yi)[..., 1:]
-        x = jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
-        if dealias == "2/3-rule":
-            x = jnp.where(self._dealias_local(), x, 0)
-        return x
-
-    def _bwd_dist_pallas(self, fu, dealias):
-        from .ops import pallas_fft3d as p3
-        N2 = int(self.N[2])
-        if dealias == "2/3-rule":
-            fu = jnp.where(self._dealias_local(), fu, 0)
-        br, bi = p3.pack_spectrum(fu)                        # pointwise
-        yr, yi = self._stage((br, bi), AXIS, 0, 1, pipeline_axis=2,
-                             pre_fn=lambda t: p3.fft_axis_planar(
-                                 t[0], t[1], axis=0, inverse=True))
-        if p3._use_fused_zy(int(self.N[1]), N2):
-            return p3.fused_zy_bwd(yr, yi, N2).astype(self.float)
-        yr, yi = p3.fft_axis_planar(yr, yi, axis=1, inverse=True)
-        return p3.irfft_last_packed(yr, yi, N2).astype(self.float)
-
-    def _unpack_plane0_dist(self, yr, yi):
-        """Separate the packed plane-0 riders: needs conj(Q(−k)) over the
-        global (k0, k1) plane; k1 is sharded, so gather just that plane."""
-        from .ops import pallas_fft3d as p3
-        qr, qi = yr[..., 0], yi[..., 0]                 # (N0, Np1)
-        if self.P == 1:
-            cr, ci = p3._flipconj(qr, qi, (0, 1))
-        else:
-            gr = lax.all_gather(qr, AXIS, axis=1, tiled=True)   # (N0, N1)
-            gi = lax.all_gather(qi, AXIS, axis=1, tiled=True)
-            fr, fi = p3._flipconj(gr, gi, (0, 1))
-            np1 = qr.shape[1]
-            r = lax.axis_index(AXIS)
-            cr = lax.dynamic_slice_in_dim(fr, r * np1, np1, 1)
-            ci = lax.dynamic_slice_in_dim(fi, r * np1, np1, 1)
-        p0 = lax.complex(0.5 * (qr + cr), 0.5 * (qi + ci))
-        pny = lax.complex(0.5 * (qi - ci), -0.5 * (qr - cr))
-        return p0, pny
 
     def _fwd_local(self, u, dealias):
         # The single transpose overlaps the axis-0 FFT when

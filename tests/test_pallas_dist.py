@@ -101,6 +101,21 @@ def test_pencil_dist_pallas_vs_numpy(rng, dealias):
         assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
 
 
+def test_pencil_p2_1_packed_vs_numpy(rng):
+    """P2 == 1 collapses pencil to slab's single transpose: the packed-
+    Hermitian pipeline (_PackedDist1D) must engage and match numpy."""
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single", P1=4)
+    assert FFT.P2 == 1 and FFT._packed_dist_ok(None)
+    assert FFT.Nfp == FFT.Nf  # no alignment padding when P2 == 1
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
 def test_line_dist_pallas_vs_numpy(rng):
     """2D line transform's distributed MXU local stages (block-chunked a2a)."""
     from mpifft4py_tpu import line
