@@ -127,13 +127,27 @@ class NavierStokes3D:
                              "tier — TPU backend required")
 
     def _packed_arrays(self):
-        """(K, K2, K_over_K2, mask) restricted to the packed k2 = 0..h−1."""
-        h = int(self.FFT.N[2]) // 2
-        K = self.K[..., :h]
-        K2 = self.K2[..., :h]
-        KK = self.K_over_K2[..., :h]
-        mask = jnp.asarray(np.asarray(self.FFT.get_dealias_filter())[..., :h])
-        return K, K2, KK, mask
+        """FACTORED wavenumber state for the packed RHS: 1-D scaled
+        wavenumbers (k0, k1, k2) and 1-D dealias masks (m0, m1, m2), packed
+        k2 = 0..h−1.  The (3, N0, N1, h) K / K² / K/K² arrays are never
+        materialised — XLA broadcasts the 1-D factors in-register, which at
+        512³ saves ~2 GB of resident HBM and every RHS's re-reads of them
+        (part of what lets a 512³ DNS step fit on one 16 GB chip)."""
+        from ..utils.spectral import dealias_cutoffs
+        FFT = self.FFT
+        N = [int(n) for n in FFT.N]
+        h = N[2] // 2
+        s = (2 * np.pi / np.asarray(FFT.L)).astype(np.float32)
+        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32)
+        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32)
+        k2 = np.arange(h, dtype=np.float32)
+        c = dealias_cutoffs(FFT.N)
+        m0 = np.abs(k0) < c[0]
+        m1 = np.abs(k1) < c[1]
+        m2 = np.abs(k2) < c[2]
+        return (jnp.asarray(k0 * s[0]), jnp.asarray(k1 * s[1]),
+                jnp.asarray(k2 * s[2]), jnp.asarray(m0), jnp.asarray(m1),
+                jnp.asarray(m2))
 
     def to_packed(self, U_hat):
         """complex state (3,)+global_complex_shape() -> packed (Ur, Ui) pair.
@@ -145,14 +159,17 @@ class NavierStokes3D:
         from ..ops import pallas_fft3d as p3
         return p3.unpack_spectrum(U[0], U[1])
 
-    def rhs_packed(self, Ur, Ui, K, K2, KK, mask):
+    def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
         from ..ops import pallas_fft3d as p3
         s = self.FFT.global_real_shape()
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
 
         def kx(V):
-            return jnp.stack([K[1] * V[2] - K[2] * V[1],
-                              K[2] * V[0] - K[0] * V[2],
-                              K[0] * V[1] - K[1] * V[0]])
+            return jnp.stack([K1 * V[2] - K2v * V[1],
+                              K2v * V[0] - K0 * V[2],
+                              K0 * V[1] - K1 * V[0]])
 
         # ω̂ = i K × Û  →  (re, im) = (−K×Ui, K×Ur)
         U = p3.irfft3d_packed(Ur, Ui, s)         # (3, N0, N1, N2), batched
@@ -162,19 +179,23 @@ class NavierStokes3D:
                        U[0] * W[1] - U[1] * W[0]])
         Fr, Fi = p3.rfft3d_packed(F)
         Fr, Fi = p3.purify_plane0(Fr, Fi)        # drop the Nyquist rider
+        mask = m0[:, None, None] & m1[None, :, None] & m2[None, None, :]
         Fr = jnp.where(mask, Fr, 0)
         Fi = jnp.where(mask, Fi, 0)
-        divr = jnp.sum(K * Fr, axis=0)
-        divi = jnp.sum(K * Fi, axis=0)
-        Fr = Fr - KK * divr[None]
-        Fi = Fi - KK * divi[None]
-        return Fr - self.nu * K2[None] * Ur, Fi - self.nu * K2[None] * Ui
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
+        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+        dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
+        di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
+        Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+        Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
+        return Fr - self.nu * ksq[None] * Ur, Fi - self.nu * ksq[None] * Ui
 
     def step_fn_packed(self):
-        """Jittable step on the packed pair: ((Ur, Ui), K, K2, KK, mask),
-        through whichever ``integrator`` was selected."""
-        def step(U, K, K2, KK, mask):
-            rhs1 = lambda V: self.rhs_packed(V[0], V[1], K, K2, KK, mask)
+        """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1, m2)
+        with factored 1-D wavenumbers, through whichever ``integrator`` was
+        selected."""
+        def step(U, *kargs):
+            rhs1 = lambda V: self.rhs_packed(V[0], V[1], *kargs)
             return self._advance(rhs1, U)
         return step
 
@@ -210,21 +231,28 @@ class NavierStokes3D:
 
     # -- dynamics ----------------------------------------------------------------
 
-    def rhs(self, U_hat, K, K2, K_over_K2):
+    def rhs(self, U_hat, k0, k1, k2):
         """dU_hat/dt.  Pure function of the sharded state; jit/scan-safe.
 
-        Per-component transform calls measured FASTER than batched stacks on
-        one chip (TPU executes kernels serially; batching only adds stack /
-        concat materialisations — 120 vs 113 ms/step at 256³).  On a pod the
-        batched ``*_fields_fn`` API wins instead (one collective per stack);
-        switch here if multi-chip DNS becomes the bottleneck.
+        Wavenumbers arrive FACTORED as 1-D arrays (k0, k1, k2) — the
+        (3,)+spectral K / K² / K/K² fields are never materialised; GSPMD
+        broadcasts the replicated vectors against the sharded spectral state
+        in-register.  Per-component transform calls measured FASTER than
+        batched stacks on one chip (TPU executes kernels serially; batching
+        only adds stack/concat materialisations — 120 vs 113 ms/step at
+        256³).  On a pod the batched ``*_fields_fn`` API wins instead (one
+        collective per stack); switch here if multi-chip DNS becomes the
+        bottleneck.
         """
         bwd, fwd = self._bwd_nl, self._fwd
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
         U = jnp.stack([bwd(U_hat[i]) for i in range(3)])
         # vorticity: ω = ifftn(i K × U_hat)
-        cu0 = 1j * (K[1] * U_hat[2] - K[2] * U_hat[1])
-        cu1 = 1j * (K[2] * U_hat[0] - K[0] * U_hat[2])
-        cu2 = 1j * (K[0] * U_hat[1] - K[1] * U_hat[0])
+        cu0 = 1j * (K1 * U_hat[2] - K2v * U_hat[1])
+        cu1 = 1j * (K2v * U_hat[0] - K0 * U_hat[2])
+        cu2 = 1j * (K0 * U_hat[1] - K1 * U_hat[0])
         W = jnp.stack([bwd(cu0), bwd(cu1), bwd(cu2)])
         # nonlinear term F = U × ω, transformed with dealiasing
         F0 = U[1] * W[2] - U[2] * W[1]
@@ -232,9 +260,11 @@ class NavierStokes3D:
         F2 = U[0] * W[1] - U[1] * W[0]
         F_hat = jnp.stack([fwd(F0), fwd(F1), fwd(F2)])
         # Leray projection + viscous term
-        div = jnp.sum(F_hat * K, axis=0)
-        F_hat = F_hat - K_over_K2 * div[None]
-        return F_hat - self.nu * K2[None] * U_hat
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
+        div = (K0 * F_hat[0] + K1 * F_hat[1] + K2v * F_hat[2]) \
+            / jnp.where(ksq == 0, 1, ksq)
+        F_hat = F_hat - jnp.stack([K0 * div, K1 * div, K2v * div])
+        return F_hat - self.nu * ksq[None] * U_hat
 
     # -- time integrators (pytree-generic: complex array, packed pair, AB2) ----
 
@@ -273,15 +303,14 @@ class NavierStokes3D:
         if self.integrator != "AB2":
             raise ValueError("ab2_state is only meaningful with integrator='AB2'")
         if self.spectral_layout == "packed":
-            K, K2, KK, mask = self._step_args()
             f = jax.jit(lambda V, *a: self.rhs_packed(V[0], V[1], *a))(
-                U, K, K2, KK, mask)
+                U, *self._step_args())
         else:
             f = jax.jit(self.rhs)(U, *self._step_args())
         return (U, f)
 
     def step_fn(self):
-        """The jittable step: (U_hat, K, K2, K_over_K2) -> U_hat (for AB2 the
+        """The jittable step: (U_hat, k0, k1, k2) -> U_hat (for AB2 the
         state is the ``ab2_state`` tuple on both sides).
 
         The wavenumber arrays are explicit ARGUMENTS, not closures: closing
@@ -290,16 +319,32 @@ class NavierStokes3D:
         backends with restricted transfers (axon relay) and a waste of HBM
         (constants get re-uploaded per executable) everywhere else.
         """
-        def step(U_hat, K, K2, KK):
-            return self._advance(lambda V: self.rhs(V, K, K2, KK), U_hat)
+        def step(U_hat, k0, k1, k2):
+            return self._advance(lambda V: self.rhs(V, k0, k1, k2), U_hat)
         return step
+
+    def _factored_k(self):
+        """1-D scaled wavenumbers matching global_complex_shape (replicated;
+        GSPMD broadcasts them against the sharded spectral state)."""
+        FFT = self.FFT
+        N = [int(n) for n in FFT.N]
+        nf = FFT.global_complex_shape()[2]
+        s = (2 * np.pi / np.asarray(FFT.L)).astype(np.float32)
+        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32) * s[0]
+        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32) * s[1]
+        # R2C Hermitian layout: k2 = 0..nf−1 (alignment-pad modes beyond
+        # Nf are structural zeros; any nonzero k keeps K² safe there)
+        k2 = np.arange(nf, dtype=np.float32) * s[2]
+        return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
 
     def _step_args(self):
         if self.spectral_layout == "packed":
             if not hasattr(self, "_pk_args"):
                 self._pk_args = self._packed_arrays()
             return self._pk_args
-        return (self.K, self.K2, self.K_over_K2)
+        if not hasattr(self, "_k_args"):
+            self._k_args = self._factored_k()
+        return self._k_args
 
     def _step_builder(self):
         return (self.step_fn_packed() if self.spectral_layout == "packed"
@@ -311,14 +356,22 @@ class NavierStokes3D:
         return self._step(U_hat, *self._step_args())
 
     def run(self, U_hat, n_steps: int):
-        """n_steps of RK4 under lax.scan (single compiled program)."""
-        step = self._step_builder()
+        """n_steps under lax.scan (ONE compiled program, cached per n_steps)."""
+        fn = getattr(self, "_run_plans", None)
+        if fn is None:
+            self._run_plans = {}
+        fn = self._run_plans.get(n_steps)
+        if fn is None:
+            step = self._step_builder()
 
-        def fn(u0, *args):
-            body = lambda c, _: (step(c, *args), None)
-            return jax.lax.scan(body, u0, None, length=n_steps)[0]
-
-        return jax.jit(fn)(U_hat, *self._step_args())
+            def body(u0, *args):
+                return jax.lax.scan(lambda c, _: (step(c, *args), None),
+                                    u0, None, length=n_steps)[0]
+            # donate the carry: the scan reuses the state buffer in place —
+            # at 512³ the state pair is 1.6 GB, and NOT donating it is the
+            # difference between fitting and OOM on a 16 GB chip
+            fn = self._run_plans[n_steps] = jax.jit(body, donate_argnums=0)
+        return fn(U_hat, *self._step_args())
 
     # -- diagnostics --------------------------------------------------------------
 
@@ -333,5 +386,5 @@ class NavierStokes3D:
         return float(jax.jit(ke)(U_hat))
 
     def rhs_with_state(self, U_hat):
-        """Convenience: rhs using the stored wavenumber arrays (eager use)."""
-        return self.rhs(U_hat, self.K, self.K2, self.K_over_K2)
+        """Convenience: rhs using the stored wavenumber vectors (eager use)."""
+        return self.rhs(U_hat, *self._step_args())

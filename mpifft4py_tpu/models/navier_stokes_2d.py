@@ -18,11 +18,17 @@ import jax.numpy as jnp
 
 
 class NavierStokes2D:
-    def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule"):
+    def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
+                 integrator: str = "RK4"):
+        from .navier_stokes import INTEGRATORS
         self.FFT = FFT
         self.nu = float(nu)
         self.dt = float(dt)
         self.dealias = dealias
+        if integrator not in INTEGRATORS:
+            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
+                             f"got {integrator!r}")
+        self.integrator = integrator
         K = FFT.get_scaled_local_wavenumbermesh()      # (2, N0, Nfp)
         K2 = jnp.sum(K * K, axis=0)
         self.K = K
@@ -55,18 +61,20 @@ class NavierStokes2D:
 
     def step_fn(self):
         # wavenumber arrays as explicit args, never closure constants
-        # (see NavierStokes3D.step_fn)
-        dt = self.dt
-        rhs = self.rhs
+        # (see NavierStokes3D.step_fn); integrator machinery shared with 3D
+        from .navier_stokes import NavierStokes3D
 
         def step(w_hat, K, K2, K2i):
-            k1 = rhs(w_hat, K, K2, K2i)
-            k2 = rhs(w_hat + 0.5 * dt * k1, K, K2, K2i)
-            k3 = rhs(w_hat + 0.5 * dt * k2, K, K2, K2i)
-            k4 = rhs(w_hat + dt * k3, K, K2, K2i)
-            return w_hat + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-
+            rhs1 = lambda V: self.rhs(V, K, K2, K2i)
+            return NavierStokes3D._advance(self, rhs1, w_hat)
         return step
+
+    def ab2_state(self, w_hat):
+        """(w_hat, f_prev) carry for integrator='AB2' (first step = Euler seed)."""
+        if self.integrator != "AB2":
+            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
+        f = jax.jit(self.rhs)(w_hat, self.K, self.K2, self.K2_inv)
+        return (w_hat, f)
 
     def step(self, w_hat):
         if self._step is None:

@@ -1,4 +1,4 @@
-"""Discrete cosine transforms (types 1, 2, 3) on top of XLA FFTs.
+"""Discrete cosine transforms (types 1–4) on top of XLA FFTs.
 
 The reference's FFTW backend exposes ``dct`` (scipy.fftpack semantics) for
 Shen-basis spectral solvers (SURVEY.md §2.1 #7, [K:med]).  TPU has no native DCT,
@@ -48,6 +48,20 @@ def _dct3(x, axis):
     return jnp.real(jnp.take(F, jnp.arange(n), axis=axis)).astype(x.dtype)
 
 
+def _dct4(x, axis):
+    n = x.shape[axis]
+    # y[k] = 2 Re{ e^{-iπ(2k+1)/(4N)} · FFT_{2N}(x[n] e^{-iπn/(2N)} ⊕ 0)[k] }
+    k = jnp.arange(n)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    pre = jnp.exp(-1j * jnp.pi * k / (2 * n)).reshape(shape)
+    post = jnp.exp(-1j * jnp.pi * (2 * k + 1) / (4 * n)).reshape(shape)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n)
+    F = jnp.fft.fft(jnp.pad(x * pre, pad), axis=axis)
+    return (2 * jnp.real(post * jnp.take(F, k, axis=axis))).astype(x.dtype)
+
+
 def _dct1(x, axis):
     n = x.shape[axis]
     inner = jnp.take(x, jnp.arange(n - 2, 0, -1), axis=axis)
@@ -67,7 +81,9 @@ def dct(a, b=None, type=2, axis=-1, **kw):
         return _dct2(a, axis)
     if type == 3:
         return _dct3(a, axis)
-    raise NotImplementedError(f"dct type {type} not implemented (types 1,2,3 available)")
+    if type == 4:
+        return _dct4(a, axis)
+    raise NotImplementedError(f"dct type {type} not implemented (types 1-4 available)")
 
 
 def idct(a, b=None, type=2, axis=-1, **kw):
@@ -84,4 +100,7 @@ def idct(a, b=None, type=2, axis=-1, **kw):
         # scipy.fftpack pairing: idct(·,1) is the unnormalised DCT-I itself
         # (idct(dct(x,1),1) == 2(N-1)·x).
         return _dct1(a, axis)
+    if type == 4:
+        # DCT-IV is self-inverse up to 2N: idct(dct(x,4),4) == 2N·x.
+        return _dct4(a, axis)
     raise NotImplementedError(f"idct type {type} not implemented")

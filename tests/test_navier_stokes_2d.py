@@ -33,3 +33,21 @@ def test_serial_parallel_agree():
     a = np.asarray(w1)[:, :r1.Nf]
     b = np.asarray(w4)[:, :r4.Nf]
     assert np.allclose(a, b, atol=1e-10)
+
+
+def test_2d_integrators_agree():
+    """LSRK54 matches RK4 to 4th-order accuracy; AB2 runs via its carry."""
+    import numpy as np
+    from mpifft4py_tpu import line
+
+    N = np.array([32, 32])
+    L = np.array([2 * np.pi] * 2)
+    FFT = line.R2C(N, L, 1, "double")
+    rk4 = NavierStokes2D(FFT, 1e-3, 5e-3)
+    ls = NavierStokes2D(FFT, 1e-3, 5e-3, integrator="LSRK54")
+    w1 = rk4.step(rk4.vortex_pair())
+    w2 = ls.step(ls.vortex_pair())
+    assert np.allclose(np.asarray(w1), np.asarray(w2), atol=1e-9)
+    ab = NavierStokes2D(FFT, 1e-3, 5e-3, integrator="AB2")
+    st = ab.step(ab.ab2_state(ab.vortex_pair()))
+    assert np.isfinite(ab.enstrophy(st[0]))

@@ -52,3 +52,16 @@ def test_dct_roundtrip(rng):
     # scipy.fftpack unnormalised pairing: idct(dct(x)) == 2N·x
     u = rng.standard_normal((5, 16))
     assert np.allclose(sf.idct(sf.dct(u)) / (2 * 16), u, atol=1e-10)
+
+
+@pytest.mark.parametrize("axis", [0, -1])
+def test_dct4_matches_scipy(rng, axis):
+    from scipy import fft as sfft
+
+    u = rng.standard_normal((6, 10))
+    assert np.allclose(sf.dct(u, type=4, axis=axis),
+                       sfft.dct(u, type=4, axis=axis), atol=1e-10)
+    # self-inverse up to 2N
+    n = u.shape[axis]
+    assert np.allclose(sf.idct(sf.dct(u, type=4, axis=axis), type=4, axis=axis)
+                       / (2 * n), u, atol=1e-10)
