@@ -91,6 +91,20 @@ def main():
     t32 = measure(lambda f: fwd32(bwd32(f)), fu0)
     report("3b_slab_r2c_padded32", FFT, t32, err)
 
+    # 4s. pencil on ONE chip (P1=P2=1: both grouped all-to-alls degenerate;
+    # P2==1 routes through the packed MXU pipeline) — records config 4's
+    # decomposition class on real TPU hardware where only one chip exists
+    if ndev < 4:
+        N = 32 if smoke else (256 if jax.default_backend() == "tpu" else 64)
+        FFT = pencil.R2C(np.array([N] * 3), np.array([TAU] * 3), 1, "single")
+        u32 = rng.standard_normal((N, N, N)).astype(np.float32)
+        out = FFT.gather(FFT.fftn(u32))[..., :FFT.Nf]
+        ref = np.fft.rfftn(u32.astype(np.float64))
+        err = np.abs(out - ref).max() / np.abs(ref).max()
+        fwd, bwd = FFT.forward_fn(), FFT.backward_fn()
+        t = measure(lambda v: bwd(fwd(v)), FFT.shard_real(u32))
+        report("4s_pencil_r2c_single_chip", FFT, t, err)
+
     # 4. pencil R2C on a 2D mesh (P1xP2)
     if ndev >= 4:
         N = 32 if smoke else (256 if jax.default_backend() == "tpu" else 64)

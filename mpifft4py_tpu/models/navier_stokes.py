@@ -329,12 +329,13 @@ class NavierStokes3D:
         FFT = self.FFT
         N = [int(n) for n in FFT.N]
         nf = FFT.global_complex_shape()[2]
-        s = (2 * np.pi / np.asarray(FFT.L)).astype(np.float32)
-        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32) * s[0]
-        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32) * s[1]
+        ft = FFT.float  # f64 for "double" on CPU — f32 k would cap 1/k² at ~1e-8
+        s = (2 * np.pi / np.asarray(FFT.L)).astype(ft)
+        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(ft) * s[0]
+        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(ft) * s[1]
         # R2C Hermitian layout: k2 = 0..nf−1 (alignment-pad modes beyond
         # Nf are structural zeros; any nonzero k keeps K² safe there)
-        k2 = np.arange(nf, dtype=np.float32) * s[2]
+        k2 = np.arange(nf, dtype=ft) * s[2]
         return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
 
     def _step_args(self):
