@@ -428,6 +428,8 @@ def rfft_last_packed(x):
     n = x.shape[-1]
     h = n // 2
     assert h % 128 == 0, f"packed layout needs (n/2) % 128 == 0, got n={n}"
+    if _zfact_ok(n):
+        return _rfft_last_packed_fact(x)
     R = int(np.prod(x.shape[:-1], dtype=np.int64))
     xr = x.astype(jnp.float32).reshape(1, R, n)
     A, B = _packed_rdft_cs(n)
@@ -452,6 +454,180 @@ def rfft_last_packed(x):
     return yr.reshape(shp), yi.reshape(shp)
 
 
+# ---------------------------------------------------------------------------
+# factored packed r2c/c2r (large n): in-kernel transpose + half-length c2c
+# ---------------------------------------------------------------------------
+#
+# The dense (n × h) matrices cost 2n madds per output element — at n = 1024
+# the z stage was 40% of the whole 1024³ round trip (145 of 364 ms measured).
+# Classic half-length algorithm instead: z_t = x[2t] + i·x[2t+1],
+# Z = FFT_h(z) (factored DIT over SUBLANES — ~3m madds), then
+#   E(k) = (Z[k] + conj Z[h−k])/2,  O(k) = (Z[k] − conj Z[h−k])/(2i),
+#   X[k] = E(k) + e^{−2πik/n}·O(k)                        (k = 1..h−1)
+#   X[0] = Re Z₀ + Im Z₀,  X_Nyq = Re Z₀ − Im Z₀          (plane-0 riders)
+# The z axis lives on LANES in HBM, so the kernel transposes its block
+# in-VMEM (lane↔sublane), contracts over sublanes, and transposes back —
+# one HBM pass, ~4-5× fewer MXU flops than the dense matmul at n ≥ 512.
+
+def _zfact_ok(n: int) -> bool:
+    # MEASURED NEGATIVE RESULT (v5e, 2026-08): the factored route is 2.8×
+    # SLOWER than the dense matmuls despite 4-5× fewer MXU flops — Mosaic
+    # lowers the in-kernel (TR, n) transposes as slow shuffles (9.4 ms for a
+    # 0.5 GB in+out pair, ~3× copy bandwidth) and an XLA lane-axis flip costs
+    # 23.7 ms where ~2 ms of elementwise work was expected.  Kept as an
+    # opt-in experiment (MPIFFT4PY_TPU_ZFACT=1); parity-tested in
+    # tests/test_pallas_fft.py either way.
+    import os
+    if os.environ.get("MPIFFT4PY_TPU_ZFACT", "0") not in ("1", "true", "force"):
+        return False
+    h = n // 2
+    if n < 512 or h % 128 != 0:
+        return False
+    r, m = _factor(h)
+    return r <= 8 and m >= 64
+
+
+@lru_cache(maxsize=None)
+def _half_twiddle(n: int, sign: int):
+    """(cos, sin) of sign·2πk/n for k = 0..h−1, shaped (h,)."""
+    h = n // 2
+    ang = sign * 2.0 * np.pi * np.arange(h) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _flip_conj_lanes(Zr, Zi):
+    """Z[(h−k) mod h] over the LANE (last) axis — XLA side; Mosaic cannot
+    lower `rev`, so the conjugate-symmetric combine lives outside the kernel
+    (it fuses into one elementwise pass)."""
+    return (jnp.roll(jnp.flip(Zr, axis=-1), 1, axis=-1),
+            jnp.roll(jnp.flip(Zi, axis=-1), 1, axis=-1))
+
+
+def _zcombine_fwd(Zr, Zi, n):
+    """Z = FFT_h(x_even + i·x_odd)  →  packed X (plane 0 = X₀ + i·X_Nyq)."""
+    Zfr, Zfi = _flip_conj_lanes(Zr, Zi)
+    Er, Ei = 0.5 * (Zr + Zfr), 0.5 * (Zi - Zfi)
+    Or, Oi = 0.5 * (Zi + Zfi), 0.5 * (Zfr - Zr)
+    c, s = _half_twiddle(n, -1)
+    c, s = jnp.asarray(c), jnp.asarray(s)
+    Xr = Er + c * Or - s * Oi
+    Xi = Ei + c * Oi + s * Or
+    Xi = Xi.at[..., 0].set(Zr[..., 0] - Zi[..., 0])   # rider: X_Nyquist
+    return Xr, Xi
+
+
+def _zcombine_bwd(Xr, Xi, n):
+    """packed X → Z (the half-length spectrum to inverse-transform)."""
+    Xfr, Xfi = _flip_conj_lanes(Xr, Xi)
+    Er, Ei = 0.5 * (Xr + Xfr), 0.5 * (Xi - Xfi)
+    Dr, Di = 0.5 * (Xr - Xfr), 0.5 * (Xi + Xfi)
+    c, s = _half_twiddle(n, +1)
+    c, s = jnp.asarray(c), jnp.asarray(s)
+    Or = c * Dr - s * Di
+    Oi = c * Di + s * Dr
+    # plane-0 riders: X[0] = Xr₀, X_Nyq = Xi₀ (both real)
+    Er = Er.at[..., 0].set(0.5 * (Xr[..., 0] + Xi[..., 0]))
+    Ei = Ei.at[..., 0].set(0.0)
+    Or = Or.at[..., 0].set(0.5 * (Xr[..., 0] - Xi[..., 0]))
+    Oi = Oi.at[..., 0].set(0.0)
+    return Er - Oi, Ei + Or                    # Z = E + i·O
+
+
+def _zpack_fft_kernel(h, r, m, x_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                      zr_ref, zi_ref):
+    xt = x_ref[0].T                            # (n, TR): z on sublanes
+    z = xt.reshape(h, 2, xt.shape[-1])         # even/odd sample split
+    Zr, Zi = _factored_vals(z[:, 0, :], z[:, 1, :], wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], r, m)
+    zr_ref[0] = Zr.T
+    zi_ref[0] = Zi.T
+
+
+def _zpack_ifft_kernel(h, r, m, zr_ref, zi_ref, wr_ref, wi_ref,
+                       cr_ref, ci_ref, o_ref):
+    Zr = zr_ref[0].T                           # (h, TR)
+    Zi = zi_ref[0].T
+    zr, zi = _factored_vals(Zr, Zi, wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], r, m)
+    inv = jnp.float32(1.0 / h)
+    y = jnp.stack([zr * inv, zi * inv], axis=1)  # re-interleave even/odd
+    o_ref[0] = y.reshape(2 * h, zr.shape[-1]).T
+
+
+def _pick_tr_fact(n: int, R: int) -> int:
+    """Row tile for the factored z kernels: transposed block + temporaries
+    (~6 h·TR values live) + (m, m) consts, double-buffered."""
+    h = n // 2
+    if R <= 128:
+        return R
+    budget = 10 * 1024 * 1024 - 2 * (128 * 128 * 2) * 4
+    per_tr = (n * 2 + 6 * h) * 4 * 2
+    for tr in (512, 256, 128):
+        if R % tr == 0 and per_tr * tr * 2 <= budget:
+            return tr
+    return 128  # non-dividing R: trailing partial block is masked by pallas
+
+
+def _rfft_last_packed_fact(x):
+    n = x.shape[-1]
+    h = n // 2
+    r, m = _factor(h)
+    R = int(np.prod(x.shape[:-1], dtype=np.int64))
+    xr = x.astype(jnp.float32).reshape(1, R, n)
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(h, r, m, -1)
+    tr = _pick_tr_fact(n, R)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_zpack_fft_kernel, h, r, m),
+        grid=(-(-R // tr),),
+        in_specs=[pl.BlockSpec((1, tr, n), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+                  c2((m, m)), c2((m, m)), c2((r * r * m, 1)),
+                  c2((r * r * m, 1))],
+        out_specs=[pl.BlockSpec((1, tr, h), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, R, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * m * m * r * (R // m) + 10 * R * h,
+            bytes_accessed=(R * n + 2 * R * h) * 4, transcendentals=0),
+    )
+    Zr, Zi = fn(xr, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+                jnp.asarray(ci))
+    Xr, Xi = _zcombine_fwd(Zr, Zi, n)          # XLA: one fused flip+combine
+    shp = x.shape[:-1] + (h,)
+    return Xr.reshape(shp), Xi.reshape(shp)
+
+
+def _irfft_last_packed_fact(xr, xi, n: int):
+    h = n // 2
+    r, m = _factor(h)
+    R = int(np.prod(xr.shape[:-1], dtype=np.int64))
+    Zr, Zi = _zcombine_bwd(xr.reshape(1, R, h), xi.reshape(1, R, h), n)
+    wr, wi = _dft_cs(m, +1)
+    cr, ci = _combine_cs(h, r, m, +1)
+    tr = _pick_tr_fact(n, R)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_zpack_ifft_kernel, h, r, m),
+        grid=(-(-R // tr),),
+        in_specs=[pl.BlockSpec((1, tr, h), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)] * 2
+        + [c2((m, m)), c2((m, m)), c2((r * r * m, 1)), c2((r * r * m, 1))],
+        out_specs=pl.BlockSpec((1, tr, n), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, R, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 3 * m * m * r * (R // m) + 10 * R * h,
+            bytes_accessed=(R * n + 2 * R * h) * 4, transcendentals=0),
+    )
+    y = fn(Zr, Zi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+           jnp.asarray(ci))
+    return y.reshape(xr.shape[:-1] + (n,))
+
+
 def _ipacked_kernel(xr_ref, xi_ref, cr_ref, ci_ref, o_ref):
     # u = Pre·C + Pim·D
     o_ref[0] = (jnp.dot(xr_ref[0], cr_ref[...],
@@ -464,6 +640,8 @@ def irfft_last_packed(xr, xi, n: int):
     """packed planar (…, n/2) -> real (…, n)."""
     h = n // 2
     assert xr.shape[-1] == h and h % 128 == 0
+    if _zfact_ok(n):
+        return _irfft_last_packed_fact(xr, xi, n)
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
     C, D = _packed_irdft_cs(n)
     tr = _pick_tr(R, n, h)

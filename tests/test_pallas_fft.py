@@ -82,3 +82,33 @@ def test_cfft3d_chain(rng):
     assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-6
     back = np.asarray(p3.cfft3d(jnp.asarray(out), inverse=True))
     assert np.abs(back - x).max() < 1e-4
+
+
+def test_factored_packed_z_kernels_vs_numpy(rng, monkeypatch):
+    """Large-n packed r2c/c2r via in-kernel transpose + half-length factored
+    FFT: body, plane-0 riders, and round trip against numpy.  Opt-in tier —
+    measured SLOWER than the dense matmuls on v5e (Mosaic transpose/XLA flip
+    costs; see _zfact_ok) but kept correct for future toolchains."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_ZFACT", "1")
+    with pltpu.force_tpu_interpret_mode():
+        for n in (512, 1024):
+            assert p3._zfact_ok(n)
+            h = n // 2
+            x = rng.standard_normal((3, 8, n)).astype(np.float32)
+            yr, yi = p3._rfft_last_packed_fact(jnp.asarray(x))
+            yr, yi = np.asarray(yr), np.asarray(yi)
+            ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+            scale = np.abs(ref).max()
+            assert np.abs((yr + 1j * yi)[..., 1:] - ref[..., 1:h]).max() < 3e-6 * scale
+            assert np.abs(yr[..., 0] - ref[..., 0].real).max() < 3e-6 * scale
+            assert np.abs(yi[..., 0] - ref[..., h].real).max() < 3e-6 * scale
+            xb = np.asarray(p3._irfft_last_packed_fact(
+                jnp.asarray(yr), jnp.asarray(yi), n))
+            assert np.abs(xb - x).max() < 3e-6 * np.abs(x).max()
+    assert not p3._zfact_ok(256)  # small n stays on the dense kernels
+    monkeypatch.delenv("MPIFFT4PY_TPU_ZFACT")
+    assert not p3._zfact_ok(1024)  # off by default (measured slower on v5e)
