@@ -862,7 +862,11 @@ def irfft3d_planar(yr, yi, s):
 
 def unpack_spectrum(yr, yi) -> jnp.ndarray:
     """packed planar (…,N0,N1,h) -> standard complex (…,N0,N1,h+1): separate
-    the plane-0 riders (full-axes flip-conj) and append the Nyquist column."""
+    the plane-0 riders (full-axes flip-conj) and append the Nyquist column.
+
+    Concat deliberately: a pad+column-set formulation measured SLOWER
+    (512³ 32.7 → 37.8 ms, 1024³ 364 → 414 ms round trip) — XLA fuses this
+    concat chain better than dynamic-update-slices."""
     p0, pny = unpack_plane0(yr, yi, axes=(yr.ndim - 3, yr.ndim - 2))
     body = lax.complex(yr, yi)[..., 1:]
     return jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)
