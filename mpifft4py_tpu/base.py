@@ -70,7 +70,8 @@ class BaseFFT:
         self.N = np.array(N, dtype=np.int64)
         self.L = np.array(L, dtype=np.float64)
         assert len(self.N) == self.ndim and len(self.L) == self.ndim
-        if communication not in ("Alltoall", "Alltoallw", "alltoall", "pipelined"):
+        if communication not in ("Alltoall", "Alltoallw", "alltoall",
+                                 "pipelined", "rdma"):
             raise ValueError(f"unknown communication={communication!r}")
         self.communication = communication
         self.padsize = float(padsize)
@@ -163,6 +164,32 @@ class BaseFFT:
                 x = pre_fn(x)
             return work_fn(x) if work_fn is not None else x
         from .parallel.collectives import transpose, transpose_pipelined
+        if self.communication == "rdma":
+            # Pallas remote-DMA all-to-all (parallel.rdma): float leaves only
+            # (planar MXU pipelines, dd limb pairs, real fields) — a complex
+            # leaf means the XLA tier's spectrum reached the collective,
+            # which rdma deliberately does not serve (loud, not silent).
+            import jax as _jax
+            from .parallel.rdma import rdma_all_to_all, rdma_supported
+            if pre_fn is not None:
+                x = pre_fn(x)
+            leaves = jax.tree.leaves(x)
+            if not all(rdma_supported(v) for v in leaves):
+                raise ValueError(
+                    "communication='rdma' requires float arrays at the "
+                    "collective (got "
+                    f"{[str(v.dtype) for v in leaves]}); use the MXU "
+                    "distributed pipeline (fp32) or another communication=")
+            interp = _jax.default_backend() != "tpu"
+            base = 16 + 4 * split_axis + 8 * concat_axis
+            out = []
+            for i, v in enumerate(leaves):
+                out.append(rdma_all_to_all(
+                    v, axis_name, split_axis, concat_axis,
+                    int(self.mesh.shape[axis_name]),
+                    collective_id=base + i, interpret=interp))
+            x = jax.tree.unflatten(jax.tree.structure(x), out)
+            return work_fn(x) if work_fn is not None else x
         if self.communication == "pipelined":
             return transpose_pipelined(x, axis_name, split_axis, concat_axis,
                                        work_fn, pipeline_axis,

@@ -1,0 +1,81 @@
+"""Pallas remote-DMA transpose (communication="rdma") — interpret-mode tests.
+
+The RDMA all-to-all runs under the Pallas TPU interpreter on the 8-device
+CPU mesh with real cross-device semantics: per-peer async remote copies,
+DMA semaphores, and the collective barrier.  Oracles: lax.all_to_all parity
+at the primitive level, and full numpy-checked transforms through the MXU
+distributed pipelines (whose collectives carry planar float pairs).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mpifft4py_tpu import slab
+from mpifft4py_tpu.parallel.rdma import rdma_all_to_all
+
+TAU = 2 * np.pi
+
+
+@pytest.mark.parametrize("split,concat", [(1, 0), (0, 1), (2, 0)])
+def test_rdma_matches_lax_all_to_all(rng, split, concat):
+    mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+    x = jnp.asarray(rng.standard_normal((16, 32, 8)).astype(np.float32))
+    in_spec = [None, None, None]
+    in_spec[concat] = "p"
+    out_spec = [None, None, None]
+    out_spec[split] = "p"
+    f = jax.jit(jax.shard_map(
+        lambda v: rdma_all_to_all(v, "p", split, concat, 8, interpret=True),
+        mesh=mesh, in_specs=P(*in_spec), out_specs=P(*out_spec),
+        check_vma=False))
+    ref = jax.jit(jax.shard_map(
+        lambda v: jax.lax.all_to_all(v, "p", split, concat, tiled=True),
+        mesh=mesh, in_specs=P(*in_spec), out_specs=P(*out_spec),
+        check_vma=False))
+    assert np.array_equal(np.asarray(f(x)), np.asarray(ref(x)))
+
+
+@pytest.mark.parametrize("Pn", [2, 4])
+def test_slab_rdma_transform_vs_numpy(rng, monkeypatch, Pn):
+    """Full slab R2C through the MXU distributed pipeline with the RDMA
+    transpose carrying the planar pair."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    shape = (16, 16, 256)
+    with pltpu.force_tpu_interpret_mode():
+        FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), Pn, "single",
+                       communication="rdma")
+        assert FFT._pallas_dist_ok(None)
+        u = rng.standard_normal(shape).astype(np.float32)
+        fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+        ref = np.fft.rfftn(u.astype(np.float64))
+        assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+        ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+        assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+def test_rdma_complex_tier_raises(monkeypatch):
+    """The XLA complex tier must refuse rdma loudly, not fall back."""
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS", "0")  # force the XLA tier
+    FFT = slab.R2C(np.array([16, 16, 16]), np.array([TAU] * 3), 4, "single",
+                   communication="rdma")
+    u = np.random.default_rng(0).standard_normal((16, 16, 16)).astype(np.float32)
+    with pytest.raises(Exception, match="rdma"):
+        FFT.fftn(FFT.shard_real(u))
+
+
+def test_rdma_doubleword_transform_vs_numpy(rng, monkeypatch):
+    """Doubleword fields move as four float32 leaves — rdma serves them."""
+    FFT = slab.R2C(np.array([16, 16, 16]), np.array([TAU] * 3), 4, "double",
+                   fp64_mode="doubleword", communication="rdma")
+    u = rng.standard_normal((16, 16, 16))
+    fu = FFT.gather_dd(FFT.fftn(u)) if hasattr(FFT, "gather_dd") else None
+    if fu is None:
+        pytest.skip("no dd gather")
+    ref = np.fft.rfftn(u)
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 1e-12
