@@ -169,7 +169,6 @@ class BaseFFT:
             # (planar MXU pipelines, dd limb pairs, real fields) — a complex
             # leaf means the XLA tier's spectrum reached the collective,
             # which rdma deliberately does not serve (loud, not silent).
-            import jax as _jax
             from .parallel.rdma import rdma_all_to_all, rdma_supported
             if pre_fn is not None:
                 x = pre_fn(x)
@@ -180,14 +179,12 @@ class BaseFFT:
                     "collective (got "
                     f"{[str(v.dtype) for v in leaves]}); use the MXU "
                     "distributed pipeline (fp32) or another communication=")
-            interp = _jax.default_backend() != "tpu"
-            base = 16 + 4 * split_axis + 8 * concat_axis
-            out = []
-            for i, v in enumerate(leaves):
-                out.append(rdma_all_to_all(
-                    v, axis_name, split_axis, concat_axis,
-                    int(self.mesh.shape[axis_name]),
-                    collective_id=base + i, interpret=interp))
+            interp = jax.default_backend() != "tpu"
+            out = [rdma_all_to_all(v, axis_name, split_axis, concat_axis,
+                                   int(self.mesh.shape[axis_name]),
+                                   mesh_axes=self.mesh.axis_names,
+                                   interpret=interp)
+                   for v in leaves]
             x = jax.tree.unflatten(jax.tree.structure(x), out)
             return work_fn(x) if work_fn is not None else x
         if self.communication == "pipelined":

@@ -3,14 +3,17 @@
 
 Lazy re-exports (keeps bare ``import mpifft4py_tpu`` light):
 ``NavierStokes3D``, ``NavierStokes2D``, ``VorticityVelocity3D``, ``MHD3D``,
-``INTEGRATORS``.
+``Boussinesq3D``, ``INTEGRATORS``.
 """
 
 
 def __getattr__(name):
-    if name in ("NavierStokes3D", "INTEGRATORS"):
+    if name in ("NavierStokes3D", "INTEGRATORS", "SpectralSolver"):
         from . import navier_stokes as m
         return getattr(m, name)
+    if name == "Boussinesq3D":
+        from .boussinesq import Boussinesq3D
+        return Boussinesq3D
     if name == "NavierStokes2D":
         from .navier_stokes_2d import NavierStokes2D
         return NavierStokes2D

@@ -22,10 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .navier_stokes import NavierStokes3D, INTEGRATORS
+from .navier_stokes import SpectralSolver
 
 
-class Boussinesq3D:
+class Boussinesq3D(SpectralSolver):
     """Buoyancy-coupled pseudo-spectral solver over a slab/pencil R2C.
 
     Args:
@@ -35,31 +35,10 @@ class Boussinesq3D:
 
     def __init__(self, FFT, nu: float, kappa: float, dt: float, Ri: float = 1.0,
                  dealias: Optional[str] = "2/3-rule", integrator: str = "RK4"):
-        self.FFT = FFT
         self.nu = float(nu)
         self.kappa = float(kappa)
         self.Ri = float(Ri)
-        self.dt = float(dt)
-        self.dealias = dealias
-        if integrator not in INTEGRATORS:
-            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
-                             f"got {integrator!r}")
-        self.integrator = integrator
-        self.spectral_layout = "complex"
-        self._fwd = FFT.forward_fn(dealias=dealias)
-        self._fwd_plain = FFT.forward_fn()
-        self._bwd = FFT.backward_fn()
-        self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
-        self._step = None
-
-    _factored_k = NavierStokes3D._factored_k
-    _advance = NavierStokes3D._advance
-    run = NavierStokes3D.run
-
-    def _step_args(self):
-        if not hasattr(self, "_k_args"):
-            self._k_args = self._factored_k()
-        return self._k_args
+        self._init_solver(FFT, dt, dealias, integrator)
 
     # -- initial conditions -------------------------------------------------------
 
@@ -120,32 +99,18 @@ class Boussinesq3D:
             - self.kappa * ksq * T_hat
         return jnp.concatenate([dU, dT[None]])
 
-    def step_fn(self):
-        def step(S_hat, k0, k1, k2):
-            return self._advance(lambda V: self.rhs(V, k0, k1, k2), S_hat)
-        return step
-
-    def _step_builder(self):
-        return self.step_fn()
-
-    def ab2_state(self, S_hat):
-        if self.integrator != "AB2":
-            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        f = jax.jit(self.rhs)(S_hat, *self._step_args())
-        return (S_hat, f)
-
-    def step(self, S_hat):
-        if self._step is None:
-            self._step = jax.jit(self.step_fn())
-        return self._step(S_hat, *self._step_args())
+    # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics ---------------------------------------------------------------
 
     def energies(self, S_hat):
         """(kinetic, scalar-variance) means: 0.5<|u|²>, 0.5<θ²>."""
-        def ke(S_hat):
-            U = jnp.stack([self._bwd(S_hat[i]) for i in range(3)])
-            th = self._bwd(S_hat[3])
-            return 0.5 * jnp.mean(jnp.sum(U * U, axis=0)), 0.5 * jnp.mean(th * th)
-        eu, et = jax.jit(ke)(S_hat)
+        def build():
+            def ke(S_hat):
+                U = jnp.stack([self._bwd(S_hat[i]) for i in range(3)])
+                th = self._bwd(S_hat[3])
+                return (0.5 * jnp.mean(jnp.sum(U * U, axis=0)),
+                        0.5 * jnp.mean(th * th))
+            return ke
+        eu, et = self._plan("energies", build)(S_hat)
         return float(eu), float(et)

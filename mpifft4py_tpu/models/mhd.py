@@ -27,10 +27,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .navier_stokes import NavierStokes3D, INTEGRATORS
+from .navier_stokes import SpectralSolver
 
 
-class MHD3D:
+class MHD3D(SpectralSolver):
     """Incompressible MHD over a slab/pencil R2C transform.
 
     Args:
@@ -42,30 +42,9 @@ class MHD3D:
 
     def __init__(self, FFT, nu: float, eta: float, dt: float,
                  dealias: Optional[str] = "2/3-rule", integrator: str = "RK4"):
-        self.FFT = FFT
         self.nu = float(nu)
         self.eta = float(eta)
-        self.dt = float(dt)
-        self.dealias = dealias
-        if integrator not in INTEGRATORS:
-            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
-                             f"got {integrator!r}")
-        self.integrator = integrator
-        self.spectral_layout = "complex"
-        self._fwd = FFT.forward_fn(dealias=dealias)
-        self._fwd_plain = FFT.forward_fn()
-        self._bwd = FFT.backward_fn()
-        self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
-        self._step = None
-
-    _factored_k = NavierStokes3D._factored_k
-    _advance = NavierStokes3D._advance
-    run = NavierStokes3D.run
-
-    def _step_args(self):
-        if not hasattr(self, "_k_args"):
-            self._k_args = self._factored_k()
-        return self._k_args
+        self._init_solver(FFT, dt, dealias, integrator)
 
     # -- initial conditions -----------------------------------------------------
 
@@ -127,48 +106,32 @@ class MHD3D:
         dB = curl_hat(Fb_hat) - self.eta * ksq[None] * B_hat
         return jnp.concatenate([dU, dB])
 
-    def step_fn(self):
-        """Jittable step (UB_hat, k0, k1, k2) -> UB_hat (AB2: ab2_state tuple)."""
-        def step(UB_hat, k0, k1, k2):
-            return self._advance(lambda V: self.rhs(V, k0, k1, k2), UB_hat)
-        return step
-
-    def _step_builder(self):
-        return self.step_fn()
-
-    def ab2_state(self, UB_hat):
-        if self.integrator != "AB2":
-            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        f = jax.jit(self.rhs)(UB_hat, *self._step_args())
-        return (UB_hat, f)
-
-    def step(self, UB_hat):
-        if self._step is None:
-            self._step = jax.jit(self.step_fn())
-        return self._step(UB_hat, *self._step_args())
+    # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics --------------------------------------------------------------
 
     def energies(self, UB_hat):
         """(kinetic, magnetic) mean energies 0.5<|u|²>, 0.5<|b|²>."""
-        def ke(UB_hat):
-            U = jnp.stack([self._bwd(UB_hat[i]) for i in range(3)])
-            B = jnp.stack([self._bwd(UB_hat[3 + i]) for i in range(3)])
-            return (0.5 * jnp.mean(jnp.sum(U * U, axis=0)),
-                    0.5 * jnp.mean(jnp.sum(B * B, axis=0)))
-        eu, eb = jax.jit(ke)(UB_hat)
+        def build():
+            def ke(UB_hat):
+                U = jnp.stack([self._bwd(UB_hat[i]) for i in range(3)])
+                B = jnp.stack([self._bwd(UB_hat[3 + i]) for i in range(3)])
+                return (0.5 * jnp.mean(jnp.sum(U * U, axis=0)),
+                        0.5 * jnp.mean(jnp.sum(B * B, axis=0)))
+            return ke
+        eu, eb = self._plan("energies", build)(UB_hat)
         return float(eu), float(eb)
 
     def divergences(self, UB_hat):
         """(max |∇·u|, max |∇·b|) in spectral space — both must be ~0."""
-        k0, k1, k2 = self._step_args()
-
-        def dv(UB_hat, k0, k1, k2):
-            K0 = k0[:, None, None]
-            K1 = k1[None, :, None]
-            K2v = k2[None, None, :]
-            du = K0 * UB_hat[0] + K1 * UB_hat[1] + K2v * UB_hat[2]
-            db = K0 * UB_hat[3] + K1 * UB_hat[4] + K2v * UB_hat[5]
-            return jnp.abs(du).max(), jnp.abs(db).max()
-        a, b = jax.jit(dv)(UB_hat, k0, k1, k2)
+        def build():
+            def dv(UB_hat, k0, k1, k2):
+                K0 = k0[:, None, None]
+                K1 = k1[None, :, None]
+                K2v = k2[None, None, :]
+                du = K0 * UB_hat[0] + K1 * UB_hat[1] + K2v * UB_hat[2]
+                db = K0 * UB_hat[3] + K1 * UB_hat[4] + K2v * UB_hat[5]
+                return jnp.abs(du).max(), jnp.abs(db).max()
+            return dv
+        a, b = self._plan("divergences", build)(UB_hat, *self._step_args())
         return float(a), float(b)

@@ -50,7 +50,166 @@ _LSRK54_B = (
 INTEGRATORS = ("RK4", "LSRK54", "Euler", "AB2")
 
 
-class NavierStokes3D:
+class SpectralSolver:
+    """Shared machinery for the spectral solver family (NS3D, VV, MHD,
+    Boussinesq): integrator core, factored wavenumber state, cached jit
+    plans, AB2 carry, and the scan-based ``run``.  Subclasses implement
+    ``rhs(state, k0, k1, k2)`` and set physics parameters."""
+
+    def _init_solver(self, FFT, dt, dealias, integrator):
+        self.FFT = FFT
+        self.dt = float(dt)
+        self.dealias = dealias
+        if integrator not in INTEGRATORS:
+            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
+                             f"got {integrator!r}")
+        self.integrator = integrator
+        self.spectral_layout = "complex"
+        self._fwd = FFT.forward_fn(dealias=dealias)
+        self._fwd_plain = FFT.forward_fn()
+        self._bwd = FFT.backward_fn()
+        # 3/2-rule: the nonlinear term is evaluated on the padsize×-refined
+        # grid; 2/3-rule works on the N grid with the mask in the forward.
+        self._bwd_nl = (FFT.backward_fn(dealias) if dealias == "3/2-rule"
+                        else self._bwd)
+        self._step = None
+        self._solver_plans = {}
+
+    def _plan(self, key, builder):
+        """Cached jit of ``builder()`` — diagnostics called per-step must not
+        retrace (a remote compile through the relay is 20-60 s each)."""
+        fn = self._solver_plans.get(key)
+        if fn is None:
+            fn = self._solver_plans[key] = jax.jit(builder())
+        return fn
+
+    # -- wavenumber machinery -------------------------------------------------
+    # The step path uses only the FACTORED 1-D vectors; the full (3,)+spectral
+    # meshes below are built lazily for diagnostics (at 512³ they are ~2 GB
+    # of HBM the solver itself never needs).
+
+    @property
+    def K(self):
+        if not hasattr(self, "_K_full"):
+            self._K_full = self.FFT.get_scaled_local_wavenumbermesh()
+        return self._K_full
+
+    @property
+    def K2(self):
+        if not hasattr(self, "_K2_full"):
+            self._K2_full = jnp.sum(self.K * self.K, axis=0)
+        return self._K2_full
+
+    @property
+    def K_over_K2(self):
+        if not hasattr(self, "_KK_full"):
+            K2 = self.K2
+            self._KK_full = self.K / jnp.where(K2 == 0, 1, K2)
+        return self._KK_full
+
+    def _factored_k(self):
+        """1-D scaled wavenumbers matching global_complex_shape (replicated;
+        GSPMD broadcasts them against the sharded spectral state)."""
+        FFT = self.FFT
+        N = [int(n) for n in FFT.N]
+        nf = FFT.global_complex_shape()[2]
+        ft = FFT.float  # f64 for "double" on CPU — f32 k would cap 1/k² at ~1e-8
+        s = (2 * np.pi / np.asarray(FFT.L)).astype(ft)
+        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(ft) * s[0]
+        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(ft) * s[1]
+        # R2C Hermitian layout: k2 = 0..nf−1 (alignment-pad modes beyond
+        # Nf are structural zeros; any nonzero k keeps K² safe there)
+        k2 = np.arange(nf, dtype=ft) * s[2]
+        return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
+
+    def _step_args(self):
+        if not hasattr(self, "_k_args"):
+            self._k_args = self._factored_k()
+        return self._k_args
+
+    # -- time integrators (pytree-generic) ------------------------------------
+
+    def _advance(self, rhs1, U):
+        """One step of ``self.integrator`` on pytree state ``U`` with pytree
+        right-hand side ``rhs1``.  AB2 state is (U, f_prev) — built once by
+        ``ab2_state``; its first application is the Euler-equivalent seed."""
+        dt = self.dt
+        tm = jax.tree.map
+        it = self.integrator
+        if it == "RK4":
+            k1 = rhs1(U)
+            k2 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k1))
+            k3 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k2))
+            k4 = rhs1(tm(lambda u, k: u + dt * k, U, k3))
+            return tm(lambda u, a, b, c, d: u + (dt / 6.0) * (a + 2 * b + 2 * c + d),
+                      U, k1, k2, k3, k4)
+        if it == "LSRK54":
+            dU = None
+            for a, b in zip(_LSRK54_A, _LSRK54_B):
+                r = rhs1(U)
+                dU = r if dU is None else tm(lambda f, g: f + a * g, r, dU)
+                U = tm(lambda u, g: u + dt * b * g, U, dU)
+            return U
+        if it == "Euler":
+            return tm(lambda u, k: u + dt * k, U, rhs1(U))
+        # AB2: U_{n+1} = U_n + dt (1.5 f_n − 0.5 f_{n−1})
+        Un, fprev = U
+        f = rhs1(Un)
+        Unew = tm(lambda u, a, b: u + dt * (1.5 * a - 0.5 * b), Un, f, fprev)
+        return (Unew, f)
+
+    def step_fn(self):
+        """The jittable step: (state, k0, k1, k2) -> state (for AB2 the state
+        is the ``ab2_state`` tuple on both sides).
+
+        The wavenumber arrays are explicit ARGUMENTS, not closures: closing
+        over device-resident arrays makes jit inline them as constants, which
+        requires a device->host fetch during lowering — a failure mode on
+        backends with restricted transfers (axon relay) and a waste of HBM
+        (constants get re-uploaded per executable) everywhere else.
+        """
+        def step(state, k0, k1, k2):
+            return self._advance(lambda V: self.rhs(V, k0, k1, k2), state)
+        return step
+
+    def _step_builder(self):
+        return self.step_fn()
+
+    def ab2_state(self, U):
+        """Wrap a spectral state for integrator='AB2': (U, f_prev) with
+        f_prev = f(U), so the first step reduces to Euler."""
+        if self.integrator != "AB2":
+            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
+        f = self._plan("ab2_rhs", lambda: self.rhs)(U, *self._step_args())
+        return (U, f)
+
+    def step(self, state):
+        if self._step is None:
+            self._step = jax.jit(self._step_builder())
+        return self._step(state, *self._step_args())
+
+    def run(self, state, n_steps: int):
+        """n_steps under lax.scan (ONE compiled program, cached per n_steps).
+
+        NOTE: the input ``state`` buffer is DONATED to the scan (the carry is
+        updated in place) — at 512³ the state pair is 1.6 GB and donation is
+        the difference between fitting and OOM on a 16 GB chip.  Do not reuse
+        ``state`` after calling run; keep the return value instead."""
+        fn = getattr(self, "_run_plans", None)
+        if fn is None:
+            self._run_plans = {}
+        fn = self._run_plans.get(n_steps)
+        if fn is None:
+            step = self._step_builder()
+
+            def body(u0, *args):
+                return jax.lax.scan(lambda c, _: (step(c, *args), None),
+                                    u0, None, length=n_steps)[0]
+            fn = self._run_plans[n_steps] = jax.jit(body, donate_argnums=0)
+        return fn(state, *self._step_args())
+
+
+class NavierStokes3D(SpectralSolver):
     """RK4 pseudo-spectral solver over a slab or pencil transform object.
 
     Args:
@@ -68,34 +227,16 @@ class NavierStokes3D:
 
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
                  spectral_layout: str = "complex", integrator: str = "RK4"):
-        self.FFT = FFT
         self.nu = float(nu)
-        self.dt = float(dt)
-        self.dealias = dealias
-        if integrator not in INTEGRATORS:
-            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
-                             f"got {integrator!r}")
-        self.integrator = integrator
+        self.dealias = dealias  # _validate_packed reads it before _init_solver
         if spectral_layout not in ("complex", "packed"):
             raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
                              f"got {spectral_layout!r}")
+        self.FFT = FFT
         if spectral_layout == "packed":
             self._validate_packed()
+        self._init_solver(FFT, dt, dealias, integrator)
         self.spectral_layout = spectral_layout
-        # Wavenumber machinery, sharded like spectral space; built on device.
-        K = FFT.get_scaled_local_wavenumbermesh()
-        K2 = jnp.sum(K * K, axis=0)
-        self.K = K
-        self.K2 = K2
-        self.K_over_K2 = K / jnp.where(K2 == 0, 1, K2)
-        self._fwd = FFT.forward_fn(dealias=dealias)
-        self._fwd_plain = FFT.forward_fn()
-        self._bwd = FFT.backward_fn()
-        # 3/2-rule: the nonlinear term is evaluated on the padsize×-refined grid
-        # (padded inverse → physical product → padded/truncating forward);
-        # 2/3-rule works on the N grid with the spectral mask in the forward.
-        self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
-        self._step = None
 
     # -- packed spectral layout (MXU fast path without complex boundaries) -----
     #
@@ -200,15 +341,17 @@ class NavierStokes3D:
         return step
 
     def energy_packed(self, U) -> float:
-        h = int(self.FFT.N[2]) // 2
-        w = np.full((h,), 2.0, np.float32)
-        w[0] = 1.0
-        ntot = float(np.prod([int(n) for n in self.FFT.N]))
+        def build():
+            h = int(self.FFT.N[2]) // 2
+            w = np.full((h,), 2.0, np.float32)
+            w[0] = 1.0
+            ntot = float(np.prod([int(n) for n in self.FFT.N]))
 
-        def ke(Ur, Ui):
-            e = jnp.sum((Ur * Ur + Ui * Ui) * jnp.asarray(w), axis=None)
-            return 0.5 * e / (ntot * ntot)
-        return float(jax.jit(ke)(U[0], U[1]))
+            def ke(Ur, Ui):
+                e = jnp.sum((Ur * Ur + Ui * Ui) * jnp.asarray(w), axis=None)
+                return 0.5 * e / (ntot * ntot)
+            return ke
+        return float(self._plan("energy_packed", build)(U[0], U[1]))
 
     # -- initial conditions ---------------------------------------------------
 
@@ -266,113 +409,28 @@ class NavierStokes3D:
         F_hat = F_hat - jnp.stack([K0 * div, K1 * div, K2v * div])
         return F_hat - self.nu * ksq[None] * U_hat
 
-    # -- time integrators (pytree-generic: complex array, packed pair, AB2) ----
-
-    def _advance(self, rhs1, U):
-        """One step of ``self.integrator`` on pytree state ``U`` with pytree
-        right-hand side ``rhs1``.  AB2 state is (U, f_prev) — built once by
-        ``ab2_state``; its first application is the Euler-equivalent seed."""
-        dt = self.dt
-        tm = jax.tree.map
-        it = self.integrator
-        if it == "RK4":
-            k1 = rhs1(U)
-            k2 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k1))
-            k3 = rhs1(tm(lambda u, k: u + 0.5 * dt * k, U, k2))
-            k4 = rhs1(tm(lambda u, k: u + dt * k, U, k3))
-            return tm(lambda u, a, b, c, d: u + (dt / 6.0) * (a + 2 * b + 2 * c + d),
-                      U, k1, k2, k3, k4)
-        if it == "LSRK54":
-            dU = None
-            for a, b in zip(_LSRK54_A, _LSRK54_B):
-                r = rhs1(U)
-                dU = r if dU is None else tm(lambda f, g: f + a * g, r, dU)
-                U = tm(lambda u, g: u + dt * b * g, U, dU)
-            return U
-        if it == "Euler":
-            return tm(lambda u, k: u + dt * k, U, rhs1(U))
-        # AB2: U_{n+1} = U_n + dt (1.5 f_n − 0.5 f_{n−1})
-        Un, fprev = U
-        f = rhs1(Un)
-        Unew = tm(lambda u, a, b: u + dt * (1.5 * a - 0.5 * b), Un, f, fprev)
-        return (Unew, f)
+    # -- packed-layout overrides of the SpectralSolver hooks -------------------
 
     def ab2_state(self, U):
-        """Wrap a spectral state for integrator='AB2': (U, f_prev) with
-        f_prev = f(U), so the first step reduces to Euler."""
+        if self.spectral_layout != "packed":
+            return super().ab2_state(U)
         if self.integrator != "AB2":
             raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        if self.spectral_layout == "packed":
-            f = jax.jit(lambda V, *a: self.rhs_packed(V[0], V[1], *a))(
-                U, *self._step_args())
-        else:
-            f = jax.jit(self.rhs)(U, *self._step_args())
+        f = self._plan("ab2_rhs_packed",
+                       lambda: lambda V, *a: self.rhs_packed(V[0], V[1], *a))(
+            U, *self._step_args())
         return (U, f)
-
-    def step_fn(self):
-        """The jittable step: (U_hat, k0, k1, k2) -> U_hat (for AB2 the
-        state is the ``ab2_state`` tuple on both sides).
-
-        The wavenumber arrays are explicit ARGUMENTS, not closures: closing
-        over device-resident arrays makes jit inline them as constants, which
-        requires a device->host fetch during lowering — a failure mode on
-        backends with restricted transfers (axon relay) and a waste of HBM
-        (constants get re-uploaded per executable) everywhere else.
-        """
-        def step(U_hat, k0, k1, k2):
-            return self._advance(lambda V: self.rhs(V, k0, k1, k2), U_hat)
-        return step
-
-    def _factored_k(self):
-        """1-D scaled wavenumbers matching global_complex_shape (replicated;
-        GSPMD broadcasts them against the sharded spectral state)."""
-        FFT = self.FFT
-        N = [int(n) for n in FFT.N]
-        nf = FFT.global_complex_shape()[2]
-        ft = FFT.float  # f64 for "double" on CPU — f32 k would cap 1/k² at ~1e-8
-        s = (2 * np.pi / np.asarray(FFT.L)).astype(ft)
-        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(ft) * s[0]
-        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(ft) * s[1]
-        # R2C Hermitian layout: k2 = 0..nf−1 (alignment-pad modes beyond
-        # Nf are structural zeros; any nonzero k keeps K² safe there)
-        k2 = np.arange(nf, dtype=ft) * s[2]
-        return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
 
     def _step_args(self):
         if self.spectral_layout == "packed":
             if not hasattr(self, "_pk_args"):
                 self._pk_args = self._packed_arrays()
             return self._pk_args
-        if not hasattr(self, "_k_args"):
-            self._k_args = self._factored_k()
-        return self._k_args
+        return super()._step_args()
 
     def _step_builder(self):
         return (self.step_fn_packed() if self.spectral_layout == "packed"
                 else self.step_fn())
-
-    def step(self, U_hat):
-        if self._step is None:
-            self._step = jax.jit(self._step_builder())
-        return self._step(U_hat, *self._step_args())
-
-    def run(self, U_hat, n_steps: int):
-        """n_steps under lax.scan (ONE compiled program, cached per n_steps)."""
-        fn = getattr(self, "_run_plans", None)
-        if fn is None:
-            self._run_plans = {}
-        fn = self._run_plans.get(n_steps)
-        if fn is None:
-            step = self._step_builder()
-
-            def body(u0, *args):
-                return jax.lax.scan(lambda c, _: (step(c, *args), None),
-                                    u0, None, length=n_steps)[0]
-            # donate the carry: the scan reuses the state buffer in place —
-            # at 512³ the state pair is 1.6 GB, and NOT donating it is the
-            # difference between fitting and OOM on a 16 GB chip
-            fn = self._run_plans[n_steps] = jax.jit(body, donate_argnums=0)
-        return fn(U_hat, *self._step_args())
 
     # -- diagnostics --------------------------------------------------------------
 
@@ -381,10 +439,13 @@ class NavierStokes3D:
         for the packed layout)."""
         if self.spectral_layout == "packed":
             return self.energy_packed(U_hat)
-        def ke(U_hat):
-            U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
-            return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
-        return float(jax.jit(ke)(U_hat))
+
+        def build():
+            def ke(U_hat):
+                U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
+                return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
+            return ke
+        return float(self._plan("energy", build)(U_hat))
 
     def rhs_with_state(self, U_hat):
         """Convenience: rhs using the stored wavenumber vectors (eager use)."""

@@ -61,12 +61,12 @@ class NavierStokes2D:
 
     def step_fn(self):
         # wavenumber arrays as explicit args, never closure constants
-        # (see NavierStokes3D.step_fn); integrator machinery shared with 3D
-        from .navier_stokes import NavierStokes3D
+        # (see SpectralSolver.step_fn); integrator machinery shared with 3D
+        from .navier_stokes import SpectralSolver
 
         def step(w_hat, K, K2, K2i):
             rhs1 = lambda V: self.rhs(V, K, K2, K2i)
-            return NavierStokes3D._advance(self, rhs1, w_hat)
+            return SpectralSolver._advance(self, rhs1, w_hat)
         return step
 
     def ab2_state(self, w_hat):

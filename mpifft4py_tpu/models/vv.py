@@ -22,67 +22,46 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .navier_stokes import NavierStokes3D, INTEGRATORS
+from .navier_stokes import NavierStokes3D, SpectralSolver
 
 
-class VorticityVelocity3D:
+class VorticityVelocity3D(SpectralSolver):
     """Vorticity-form pseudo-spectral solver over a slab/pencil R2C."""
 
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
                  integrator: str = "RK4"):
-        self.FFT = FFT
         self.nu = float(nu)
-        self.dt = float(dt)
-        self.dealias = dealias
-        if integrator not in INTEGRATORS:
-            raise ValueError(f"integrator must be one of {INTEGRATORS}, "
-                             f"got {integrator!r}")
-        self.integrator = integrator
-        self.spectral_layout = "complex"
-        self._fwd = FFT.forward_fn(dealias=dealias)
-        self._fwd_plain = FFT.forward_fn()
-        self._bwd = FFT.backward_fn()
-        self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
-        self._step = None
-
-    _factored_k = NavierStokes3D._factored_k
-    _advance = NavierStokes3D._advance
-    run = NavierStokes3D.run
-
-    def _step_args(self):
-        if not hasattr(self, "_k_args"):
-            self._k_args = self._factored_k()
-        return self._k_args
+        self._init_solver(FFT, dt, dealias, integrator)
 
     # -- state construction -------------------------------------------------------
 
     def from_velocity(self, U_hat):
         """Spectral vorticity ω̂ = i k × û from a (3,)+spectral velocity."""
-        k0, k1, k2 = self._step_args()
-
-        def build(U_hat, k0, k1, k2):
-            K0 = k0[:, None, None]
-            K1 = k1[None, :, None]
-            K2v = k2[None, None, :]
-            return jnp.stack([1j * (K1 * U_hat[2] - K2v * U_hat[1]),
-                              1j * (K2v * U_hat[0] - K0 * U_hat[2]),
-                              1j * (K0 * U_hat[1] - K1 * U_hat[0])])
-        return jax.jit(build)(U_hat, k0, k1, k2)
+        def build():
+            def f(U_hat, k0, k1, k2):
+                K0 = k0[:, None, None]
+                K1 = k1[None, :, None]
+                K2v = k2[None, None, :]
+                return jnp.stack([1j * (K1 * U_hat[2] - K2v * U_hat[1]),
+                                  1j * (K2v * U_hat[0] - K0 * U_hat[2]),
+                                  1j * (K0 * U_hat[1] - K1 * U_hat[0])])
+            return f
+        return self._plan("from_velocity", build)(U_hat, *self._step_args())
 
     def velocity(self, W_hat):
         """Biot–Savart: û = i (k × ω̂)/|k|² (spectral)."""
-        k0, k1, k2 = self._step_args()
-
-        def build(W_hat, k0, k1, k2):
-            K0 = k0[:, None, None]
-            K1 = k1[None, :, None]
-            K2v = k2[None, None, :]
-            ksq = K0 * K0 + K1 * K1 + K2v * K2v
-            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
-            return jnp.stack([1j * (K1 * W_hat[2] - K2v * W_hat[1]) * inv,
-                              1j * (K2v * W_hat[0] - K0 * W_hat[2]) * inv,
-                              1j * (K0 * W_hat[1] - K1 * W_hat[0]) * inv])
-        return jax.jit(build)(W_hat, k0, k1, k2)
+        def build():
+            def f(W_hat, k0, k1, k2):
+                K0 = k0[:, None, None]
+                K1 = k1[None, :, None]
+                K2v = k2[None, None, :]
+                ksq = K0 * K0 + K1 * K1 + K2v * K2v
+                inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+                return jnp.stack([1j * (K1 * W_hat[2] - K2v * W_hat[1]) * inv,
+                                  1j * (K2v * W_hat[0] - K0 * W_hat[2]) * inv,
+                                  1j * (K0 * W_hat[1] - K1 * W_hat[0]) * inv])
+            return f
+        return self._plan("velocity", build)(W_hat, *self._step_args())
 
     def taylor_green(self):
         ns = NavierStokes3D(self.FFT, nu=self.nu, dt=self.dt, dealias=self.dealias)
@@ -113,37 +92,32 @@ class VorticityVelocity3D:
                           1j * (K0 * F_hat[1] - K1 * F_hat[0])]) \
             - self.nu * ksq[None] * W_hat
 
-    def step_fn(self):
-        def step(W_hat, k0, k1, k2):
-            return self._advance(lambda V: self.rhs(V, k0, k1, k2), W_hat)
-        return step
-
-    def _step_builder(self):
-        return self.step_fn()
-
-    def ab2_state(self, W_hat):
-        if self.integrator != "AB2":
-            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        f = jax.jit(self.rhs)(W_hat, *self._step_args())
-        return (W_hat, f)
-
-    def step(self, W_hat):
-        if self._step is None:
-            self._step = jax.jit(self.step_fn())
-        return self._step(W_hat, *self._step_args())
+    # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics ---------------------------------------------------------------
 
     def energy(self, W_hat) -> float:
         """Mean kinetic energy of the Biot–Savart velocity."""
-        def ke(W_hat):
-            U_hat = self.velocity(W_hat)
-            U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
-            return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
-        return float(ke(W_hat))
+        def build():
+            def ke(W_hat, k0, k1, k2):
+                K0 = k0[:, None, None]
+                K1 = k1[None, :, None]
+                K2v = k2[None, None, :]
+                ksq = K0 * K0 + K1 * K1 + K2v * K2v
+                inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+                U_hat = jnp.stack(
+                    [1j * (K1 * W_hat[2] - K2v * W_hat[1]) * inv,
+                     1j * (K2v * W_hat[0] - K0 * W_hat[2]) * inv,
+                     1j * (K0 * W_hat[1] - K1 * W_hat[0]) * inv])
+                U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
+                return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
+            return ke
+        return float(self._plan("energy", build)(W_hat, *self._step_args()))
 
     def enstrophy(self, W_hat) -> float:
-        def en(W_hat):
-            W = jnp.stack([self._bwd(W_hat[i]) for i in range(3)])
-            return 0.5 * jnp.mean(jnp.sum(W * W, axis=0))
-        return float(jax.jit(en)(W_hat))
+        def build():
+            def en(W_hat):
+                W = jnp.stack([self._bwd(W_hat[i]) for i in range(3)])
+                return 0.5 * jnp.mean(jnp.sum(W * W, axis=0))
+            return en
+        return float(self._plan("enstrophy", build)(W_hat))

@@ -41,14 +41,23 @@ def rdma_supported(x) -> bool:
     return x.dtype in (jnp.float32, jnp.float64, jnp.bfloat16, jnp.int32)
 
 
-def _a2a_kernel(P, axis_name, split_axis, concat_axis,
+def _a2a_kernel(P, axis_name, mesh_axes, split_axis, concat_axis,
                 x_ref, o_ref, send_sem, recv_sem):
     my = lax.axis_index(axis_name).astype(jnp.int32)
+
+    def dev_id(d):
+        # MESH device ids carry ONE coordinate per mesh axis: the transpose
+        # axis gets the peer index, every other axis keeps this device's own
+        # coordinate (pencil's P1×P2 mesh addresses peers within one group).
+        return tuple(jnp.int32(d) if name == axis_name
+                     else lax.axis_index(name).astype(jnp.int32)
+                     for name in mesh_axes)
+
     # global barrier: no device may post RDMAs before every peer has entered
     # the kernel (its output buffer must exist / be quiescent)
     barrier = pltpu.get_barrier_semaphore()
     for d in range(P):
-        pltpu.semaphore_signal(barrier, 1, device_id=(jnp.int32(d),),
+        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
                                device_id_type=pltpu.DeviceIdType.MESH)
     pltpu.semaphore_wait(barrier, P)
 
@@ -75,7 +84,7 @@ def _a2a_kernel(P, axis_name, split_axis, concat_axis,
         rdma = pltpu.make_async_remote_copy(
             src_ref=src_slice(d), dst_ref=dst_slice(my),
             send_sem=send_sem.at[d], recv_sem=recv_sem.at[d],
-            device_id=(jnp.int32(d),),
+            device_id=dev_id(d),
             device_id_type=pltpu.DeviceIdType.MESH)
         rdma.start()
         copies.append(rdma)
@@ -84,26 +93,42 @@ def _a2a_kernel(P, axis_name, split_axis, concat_axis,
     self_wait = pltpu.make_async_remote_copy(
         src_ref=src_slice(0), dst_ref=dst_slice(my),
         send_sem=send_sem.at[0], recv_sem=recv_sem.at[my],
-        device_id=(my,), device_id_type=pltpu.DeviceIdType.MESH)
+        device_id=dev_id(my), device_id_type=pltpu.DeviceIdType.MESH)
     for _ in range(P):
         self_wait.wait_recv()
 
 
+_collective_counter = [0]
+
+
+def _next_collective_id() -> int:
+    """Trace-time unique collective id (16..79): two rdma calls traced into
+    the SAME program (planar re/im leaves, pencil's two stages) must not
+    share barrier semaphores; sequential programs may reuse ids freely."""
+    _collective_counter[0] = (_collective_counter[0] + 1) % 64
+    return 16 + _collective_counter[0]
+
+
 def rdma_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int,
-                    group_size: int, *, collective_id: int = 7,
+                    group_size: int, *, mesh_axes=None, collective_id=None,
                     interpret: bool = False):
     """Drop-in for ``lax.all_to_all(..., tiled=True)`` over remote DMA.
 
-    Must be called inside ``shard_map`` over ``axis_name``.  ``interpret``
-    runs the Pallas TPU interpreter (CPU-mesh tests).
-    """
+    Must be called inside ``shard_map`` over ``axis_name``.  ``mesh_axes`` is
+    the mesh's full ordered axis-name tuple (defaults to ``(axis_name,)``,
+    i.e. a 1D mesh) — MESH device ids need one coordinate per axis.
+    ``interpret`` runs the Pallas TPU interpreter (CPU-mesh tests)."""
     P = int(group_size)
     assert x.shape[split_axis] % P == 0, (x.shape, split_axis, P)
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    if collective_id is None:
+        collective_id = _next_collective_id()
     out_shape = list(x.shape)
     out_shape[split_axis] //= P
     out_shape[concat_axis] *= P
-    kernel = functools.partial(_a2a_kernel, P, axis_name, split_axis,
-                               concat_axis)
+    kernel = functools.partial(_a2a_kernel, P, axis_name, tuple(mesh_axes),
+                               split_axis, concat_axis)
     kw = dict(interpret=pltpu.InterpretParams()) if interpret else {}
     return pl.pallas_call(
         kernel,

@@ -79,3 +79,24 @@ def test_rdma_doubleword_transform_vs_numpy(rng, monkeypatch):
         pytest.skip("no dd gather")
     ref = np.fft.rfftn(u)
     assert np.abs(fu - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_pencil_rdma_transform_vs_numpy(rng, monkeypatch):
+    """Multi-axis mesh: both of pencil's grouped all-to-alls over RDMA
+    (MESH device ids need one coordinate per mesh axis — regression test
+    for the 1-tuple addressing bug)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mpifft4py_tpu import pencil
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    shape = (16, 16, 256)
+    with pltpu.force_tpu_interpret_mode():
+        FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single",
+                         P1=2, communication="rdma")
+        assert FFT._pallas_dist_ok(None)
+        u = rng.standard_normal(shape).astype(np.float32)
+        fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+        ref = np.fft.rfftn(u.astype(np.float64))
+        assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+        ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+        assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
