@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "pad_full_axis", "trunc_full_axis", "pad_half_axis", "trunc_half_axis",
-    "wavenumbers_full", "wavenumbers_half", "dealias_cutoffs",
+    "wavenumbers_full", "wavenumbers_half", "dealias_cutoffs", "regrid",
 ]
 
 
@@ -128,3 +128,42 @@ def wavenumbers_half(nf: int, dtype=np.float64) -> np.ndarray:
 def dealias_cutoffs(N: Sequence[int]) -> np.ndarray:
     """2/3-rule cutoffs per axis: keep |k_i| < (2/3)·(N_i/2)."""
     return np.array([(2.0 / 3.0) * (n // 2) for n in N])
+
+
+def regrid(fu, N_new):
+    """Spectral resampling of an rfftn-layout spectrum to a new grid size.
+
+    ``fu`` has shape (…, n0, n1, n2//2+1) (numpy ``rfftn`` convention over
+    the last three axes, unnormalised); the result is the spectrum of the
+    SAME continuum trigonometric polynomial sampled on the ``N_new`` grid
+    (band-limited / exact trigonometric interpolation when refining; spectral
+    truncation when coarsening).  The unnormalised-DFT amplitude scales with
+    the point count, so shared modes are multiplied by ∏N_new/∏N_old —
+    ``irfftn(regrid(rfftn(u), M)) `` IS u's trig interpolant on the M grid.
+    The padded (3/2-rule) transforms use the same Nyquist-splitting helpers;
+    this utility exposes them for resolution-change restarts (regrid a saved
+    ``utils.io`` state, then continue on the finer grid).
+    """
+    N_new = [int(n) for n in N_new]
+    assert len(N_new) == 3 and all(n % 2 == 0 for n in N_new), N_new
+    nd = fu.ndim
+    n_old = [fu.shape[nd - 3], fu.shape[nd - 2], 2 * (fu.shape[nd - 1] - 1)]
+    x = fu
+    for i, ax in enumerate((nd - 3, nd - 2)):
+        if N_new[i] > n_old[i]:
+            x = pad_full_axis(x, ax, N_new[i])
+        elif N_new[i] < n_old[i]:
+            x = trunc_full_axis(x, ax, N_new[i])
+    nf_new = N_new[2] // 2 + 1
+    if N_new[2] > n_old[2]:
+        x = pad_half_axis(x, nd - 1, nf_new)
+    elif N_new[2] < n_old[2]:
+        x = trunc_half_axis(x, nd - 1, nf_new)
+        # the truncated z-Nyquist plane keeps only the self-conjugate part
+        q = x[..., -1]
+        x = jnp.concatenate(
+            [x[..., :-1],
+             (0.5 * (q + flip_conj_plane(q, (nd - 3, nd - 2))))[..., None]],
+            axis=-1)
+    scale = np.prod(N_new, dtype=np.float64) / np.prod(n_old, dtype=np.float64)
+    return x * x.dtype.type(scale)

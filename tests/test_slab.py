@@ -154,3 +154,26 @@ def test_work_arrays_and_datatypes():
     assert ct == np.complex128 and ft == np.float64
     ft, ct, mt = datatypes("single")
     assert ct == np.complex64 and ft == np.float32
+
+
+def test_regrid_spectral_resampling(rng):
+    """utils.spectral.regrid: exact trig interpolation up (coarse points are
+    reproduced on a 2x-refined grid), down-then-up identity on band-limited
+    data, and coarsening inverts refinement."""
+    import jax.numpy as jnp
+    from mpifft4py_tpu.utils.spectral import regrid
+
+    u = rng.standard_normal((16, 16, 16))
+    fu = np.fft.rfftn(u)
+    # refine 16^3 -> 32^3: the trig interpolant passes through the samples
+    fu_f = np.asarray(regrid(jnp.asarray(fu), (32, 32, 32)))
+    uf = np.fft.irfftn(fu_f, s=(32, 32, 32))
+    assert np.abs(uf[::2, ::2, ::2] - u).max() < 1e-12
+    # coarsening inverts refinement exactly
+    back = np.asarray(regrid(jnp.asarray(fu_f), (16, 16, 16)))
+    assert np.allclose(back, fu, atol=1e-10)
+    # anisotropic new grid + band-limited down: refine only z, then coarsen
+    fz = np.asarray(regrid(jnp.asarray(fu), (16, 16, 48)))
+    assert fz.shape == (16, 16, 25)
+    assert np.allclose(np.asarray(regrid(jnp.asarray(fz), (16, 16, 16))), fu,
+                       atol=1e-10)
