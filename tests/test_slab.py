@@ -167,7 +167,7 @@ def test_regrid_spectral_resampling(rng):
     fu = np.fft.rfftn(u)
     # refine 16^3 -> 32^3: the trig interpolant passes through the samples
     fu_f = np.asarray(regrid(jnp.asarray(fu), (32, 32, 32)))
-    uf = np.fft.irfftn(fu_f, s=(32, 32, 32))
+    uf = np.fft.irfftn(fu_f, s=(32, 32, 32), axes=(0, 1, 2))
     assert np.abs(uf[::2, ::2, ::2] - u).max() < 1e-12
     # coarsening inverts refinement exactly
     back = np.asarray(regrid(jnp.asarray(fu_f), (16, 16, 16)))
