@@ -140,3 +140,152 @@ def rdma_all_to_all(x, axis_name: str, split_axis: int, concat_axis: int,
         compiler_params=pltpu.CompilerParams(collective_id=collective_id),
         **kw,
     )(x)
+
+
+# ---------------------------------------------------------------------------
+# Fused transpose + x-FFT (the DMA-granularity overlap the chunked-XLA
+# pipeline cannot express: a Pallas collective occupies the core while its
+# DMAs fly, so overlap must live INSIDE one kernel).
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
+                  xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                  or_ref, oi_ref,
+                  vr_in, vi_in, vr_out, vi_out, wr_v, wi_v, cr_v, ci_v,
+                  send_sem, recv_sem, copy_sem):
+    from ..ops.pallas_fft3d import _factored_vals
+
+    my = lax.axis_index(axis_name).astype(jnp.int32)
+    np0 = n0 // P
+
+    def dev_id(d):
+        return tuple(jnp.int32(d) if name == axis_name
+                     else lax.axis_index(name).astype(jnp.int32)
+                     for name in mesh_axes)
+
+    barrier = pltpu.get_barrier_semaphore()
+    for d in range(P):
+        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, P)
+
+    # stage the constant matrices into VMEM once
+    cp = pltpu.make_async_copy(wr_ref, wr_v, copy_sem)
+    cp.start(); cp.wait()
+    cp = pltpu.make_async_copy(wi_ref, wi_v, copy_sem)
+    cp.start(); cp.wait()
+    cp = pltpu.make_async_copy(cr_ref, cr_v, copy_sem)
+    cp.start(); cp.wait()
+    cp = pltpu.make_async_copy(ci_ref, ci_v, copy_sem)
+    cp.start(); cp.wait()
+
+    npc = np1 // nc          # axis-1 columns per chunk
+
+    def mk(c, d, x_ref, o_ref, sem_idx):
+        # my rows of x, peer-d's columns, chunk c  →  peer d's output rows
+        # my·np0.., local columns c-chunk
+        src = x_ref.at[:, pl.ds(d * np1 + c * npc, npc), :]
+        dst = o_ref.at[pl.ds(my * np0, np0), pl.ds(c * npc, npc), :]
+        return pltpu.make_async_remote_copy(
+            src_ref=src, dst_ref=dst,
+            send_sem=send_sem.at[sem_idx], recv_sem=recv_sem.at[sem_idx],
+            device_id=dev_id(d), device_id_type=pltpu.DeviceIdType.MESH)
+
+    # start EVERYTHING up front: 2·P DMAs per chunk, all chunks in flight —
+    # the hardware DMA engines drain them while the MXU works below
+    sends = []
+    for c in range(nc):
+        for d in range(P):
+            a = mk(c, d, xr_ref, or_ref, (c, d, 0))
+            b = mk(c, d, xi_ref, oi_ref, (c, d, 1))
+            a.start(); b.start()
+            sends.append((a, b))
+
+    for c in range(nc):
+        # wait chunk c's arrivals (all peers land on slot (c, my, leaf))
+        wa = mk(c, 0, xr_ref, or_ref, (c, my, 0))
+        wb = mk(c, 0, xi_ref, oi_ref, (c, my, 1))
+        for _ in range(P):
+            wa.wait_recv()
+            wb.wait_recv()
+        # x-FFT chunk c in place while chunk c+1's DMAs are still flying
+        for j in range(npc):
+            col = c * npc + j
+            for t in range(h // tq):
+                sl = (slice(None), col, pl.ds(t * tq, tq))
+                cp = pltpu.make_async_copy(or_ref.at[sl], vr_in, copy_sem)
+                cp.start(); cp.wait()
+                cp = pltpu.make_async_copy(oi_ref.at[sl], vi_in, copy_sem)
+                cp.start(); cp.wait()
+                yr, yi = _factored_vals(vr_in[...], vi_in[...],
+                                        wr_v[...], wi_v[...],
+                                        cr_v[...], ci_v[...], r, m)
+                vr_out[...] = yr
+                vi_out[...] = yi
+                cp = pltpu.make_async_copy(vr_out, or_ref.at[sl], copy_sem)
+                cp.start(); cp.wait()
+                cp = pltpu.make_async_copy(vi_out, oi_ref.at[sl], copy_sem)
+                cp.start(); cp.wait()
+    for a, b in sends:
+        a.wait_send()
+        b.wait_send()
+
+
+def fused_transpose_fft_x(yr, yi, axis_name: str, group_size: int, *,
+                          mesh_axes=None, nchunks: int = 4,
+                          collective_id=None, interpret: bool = False):
+    """Slab-forward fused stage: all-to-all (split axis 1 → concat axis 0)
+    PLUS the factored x-axis FFT, one kernel, chunked over axis 1 so chunk
+    c+1's remote DMAs overlap chunk c's MXU matmuls.
+
+    Input: planar pair (N0/P, N1, h) after the local z+y stages.
+    Output: planar pair (N0, N1/P, h), x already transformed — i.e.
+    ``fft_axis_planar(all_to_all(pair), axis=0)`` in one fused pass.
+    Validated bitwise-level (same matmul order) against the unfused path in
+    interpret mode (tests/test_rdma.py).
+    """
+    from ..ops.pallas_fft3d import _factor, _dft_cs, _combine_cs
+
+    P = int(group_size)
+    np0g, n1, h = yr.shape
+    n0 = np0g * P
+    np1 = n1 // P
+    nc = int(nchunks)
+    while np1 % nc:
+        nc -= 1
+    r, m = _factor(n0)
+    tq = 128 if h % 128 == 0 else h
+    assert h % tq == 0
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    if collective_id is None:
+        collective_id = _next_collective_id()
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(n0, r, m, -1)
+    kernel = functools.partial(_fused_kernel, P, nc, n0, np1, h, tq, r, m,
+                               axis_name, tuple(mesh_axes))
+    kw = dict(interpret=pltpu.InterpretParams()) if interpret else {}
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n0, np1, h), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((n0, tq), jnp.float32),   # vr_in
+            pltpu.VMEM((n0, tq), jnp.float32),   # vi_in
+            pltpu.VMEM((n0, tq), jnp.float32),   # vr_out
+            pltpu.VMEM((n0, tq), jnp.float32),   # vi_out
+            pltpu.VMEM((m, m), jnp.float32),     # wr
+            pltpu.VMEM((m, m), jnp.float32),     # wi
+            pltpu.VMEM((r * r * m, 1), jnp.float32),  # cr
+            pltpu.VMEM((r * r * m, 1), jnp.float32),  # ci
+            pltpu.SemaphoreType.DMA((nc, P, 2)),  # send
+            pltpu.SemaphoreType.DMA((nc, P, 2)),  # recv
+            pltpu.SemaphoreType.DMA,              # local copies
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        **kw,
+    )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+      jnp.asarray(ci))
+    return out

@@ -68,9 +68,21 @@ class _PackedDist1D:
         else:
             yr, yi = p3.rfft_last_packed(u)
             yr, yi = p3.fft_axis_planar(yr, yi, axis=1)
-        yr, yi = self._stage((yr, yi), self._dist_axis, 1, 0,
-                             lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
-                             pipeline_axis=2)       # (N0, Np1, h), all axes done
+        Pax = int(self.mesh.shape[self._dist_axis])
+        if (self.communication == "rdma" and Pax > 1
+                and (N1 // Pax) >= 1 and p3.supported_c2c(int(self.N[0]))):
+            # megakernel: transpose + x-FFT fused, chunk c+1's remote DMAs
+            # overlapping chunk c's MXU matmuls (parallel.rdma)
+            from .parallel.rdma import fused_transpose_fft_x
+            interp = jax.default_backend() != "tpu"
+            yr, yi = fused_transpose_fft_x(
+                yr, yi, self._dist_axis, Pax,
+                mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
+                interpret=interp)                   # (N0, Np1, h), all axes done
+        else:
+            yr, yi = self._stage((yr, yi), self._dist_axis, 1, 0,
+                                 lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                                 pipeline_axis=2)   # (N0, Np1, h), all axes done
         p0, pny = self._unpack_plane0_dist(yr, yi)
         body = lax.complex(yr, yi)[..., 1:]
         x = jnp.concatenate([p0[..., None], body, pny[..., None]], axis=-1)

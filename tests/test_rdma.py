@@ -100,3 +100,41 @@ def test_pencil_rdma_transform_vs_numpy(rng, monkeypatch):
         assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
         ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
         assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+@pytest.mark.parametrize("Pn,nchunks", [(2, 2), (4, 4)])
+def test_fused_transpose_fft_x(rng, Pn, nchunks):
+    """Fused RDMA-transpose + x-FFT kernel == unfused all_to_all + factored
+    FFT (same matmuls, same constants) — the DMA-overlap megakernel."""
+    from mpifft4py_tpu.parallel.rdma import fused_transpose_fft_x
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("p",))
+    N0, N1, h = 16, 16, 256
+    yr = rng.standard_normal((N0, N1, h)).astype(np.float32)
+    yi = rng.standard_normal((N0, N1, h)).astype(np.float32)
+
+    def fused(a, b):
+        return fused_transpose_fft_x(a, b, "p", Pn, nchunks=nchunks,
+                                     interpret=True)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.shard_map(
+            fused, mesh=mesh, in_specs=(P("p"), P("p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+
+        def unfused(a, b):
+            a = jax.lax.all_to_all(a, "p", 1, 0, tiled=True)
+            b = jax.lax.all_to_all(b, "p", 1, 0, tiled=True)
+            return p3.fft_axis_planar(a, b, axis=0)
+
+        ref = jax.jit(jax.shard_map(
+            unfused, mesh=mesh, in_specs=(P("p"), P("p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+    for g, rf in zip(got, ref):
+        scale = np.abs(np.asarray(rf)).max()
+        assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
