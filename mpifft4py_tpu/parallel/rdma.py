@@ -289,3 +289,147 @@ def fused_transpose_fft_x(yr, yi, axis_name: str, group_size: int, *,
     )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
       jnp.asarray(ci))
     return out
+
+
+def _fused_inv_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
+                      xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                      or_ref, oi_ref, sr_ref, si_ref,
+                      vr_in, vi_in, vr_out, vi_out, wr_v, wi_v, cr_v, ci_v,
+                      send_sem, recv_sem, copy_sem):
+    from ..ops.pallas_fft3d import _factored_vals
+
+    my = lax.axis_index(axis_name).astype(jnp.int32)
+    np0 = n0 // P
+
+    def dev_id(d):
+        return tuple(jnp.int32(d) if name == axis_name
+                     else lax.axis_index(name).astype(jnp.int32)
+                     for name in mesh_axes)
+
+    barrier = pltpu.get_barrier_semaphore()
+    for d in range(P):
+        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, P)
+
+    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)):
+        cp = pltpu.make_async_copy(ref, v, copy_sem)
+        cp.start(); cp.wait()
+
+    npc = np1 // nc
+    inv = jnp.float32(1.0 / n0)
+
+    def mk(c, d, s_ref, o_ref, sem_idx, slot):
+        # my TRANSFORMED chunk c, rows block d  →  peer d's columns
+        # my·np1 + c-chunk (staging slot alternates per chunk)
+        src = s_ref.at[slot, pl.ds(d * np0, np0), :, :]
+        dst = o_ref.at[:, pl.ds(my * np1 + c * npc, npc), :]
+        return pltpu.make_async_remote_copy(
+            src_ref=src, dst_ref=dst,
+            send_sem=send_sem.at[sem_idx], recv_sem=recv_sem.at[sem_idx],
+            device_id=dev_id(d), device_id_type=pltpu.DeviceIdType.MESH)
+
+    pending = {}
+    for c in range(nc):
+        slot = c % 2
+        # the staging slot must be free: chunk c-2's sends done
+        if c - 2 in pending:
+            for a, b in pending.pop(c - 2):
+                a.wait_send()
+                b.wait_send()
+        # x-IFFT chunk c: input -> staging (while chunk c-1's DMAs fly)
+        for j in range(npc):
+            col = c * npc + j
+            for t in range(h // tq):
+                lsl = (slice(None), col, pl.ds(t * tq, tq))
+                ssl = (slot, slice(None), j, pl.ds(t * tq, tq))
+                cp = pltpu.make_async_copy(xr_ref.at[lsl], vr_in, copy_sem)
+                cp.start(); cp.wait()
+                cp = pltpu.make_async_copy(xi_ref.at[lsl], vi_in, copy_sem)
+                cp.start(); cp.wait()
+                yr, yi = _factored_vals(vr_in[...], vi_in[...],
+                                        wr_v[...], wi_v[...],
+                                        cr_v[...], ci_v[...], r, m)
+                vr_out[...] = yr * inv
+                vi_out[...] = yi * inv
+                cp = pltpu.make_async_copy(vr_out, sr_ref.at[ssl], copy_sem)
+                cp.start(); cp.wait()
+                cp = pltpu.make_async_copy(vi_out, si_ref.at[ssl], copy_sem)
+                cp.start(); cp.wait()
+        # ship chunk c
+        group = []
+        for d in range(P):
+            a = mk(c, d, sr_ref, or_ref, (c, d, 0), slot)
+            b = mk(c, d, si_ref, oi_ref, (c, d, 1), slot)
+            a.start(); b.start()
+            group.append((a, b))
+        pending[c] = group
+    for group in pending.values():
+        for a, b in group:
+            a.wait_send()
+            b.wait_send()
+    # await all incoming blocks (slots (c, my, leaf))
+    for c in range(nc):
+        wa = mk(c, 0, sr_ref, or_ref, (c, my, 0), 0)
+        wb = mk(c, 0, si_ref, oi_ref, (c, my, 1), 0)
+        for _ in range(P):
+            wa.wait_recv()
+            wb.wait_recv()
+
+
+def fused_ifft_x_transpose(yr, yi, axis_name: str, group_size: int, *,
+                           mesh_axes=None, nchunks: int = 4,
+                           collective_id=None, interpret: bool = False):
+    """Slab-inverse fused stage: factored x-axis IFFT PLUS the all-to-all
+    (split axis 0 → concat axis 1), one kernel, double-buffered staging so
+    chunk c's remote DMAs overlap chunk c+1's MXU matmuls.
+
+    Input: planar pair (N0, N1/P, h) spectral; output: (N0/P, N1, h) with
+    the x axis inverse-transformed — i.e.
+    ``all_to_all(fft_axis_planar(pair, axis=0, inverse=True))`` fused.
+    """
+    from ..ops.pallas_fft3d import _factor, _dft_cs, _combine_cs
+
+    P = int(group_size)
+    n0, np1, h = yr.shape
+    nc = int(nchunks)
+    while np1 % nc:
+        nc -= 1
+    r, m = _factor(n0)
+    tq = 128 if h % 128 == 0 else h
+    assert h % tq == 0
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    if collective_id is None:
+        collective_id = _next_collective_id()
+    wr, wi = _dft_cs(m, +1)
+    cr, ci = _combine_cs(n0, r, m, +1)
+    npc = np1 // nc
+    kernel = functools.partial(_fused_inv_kernel, P, nc, n0, np1, h, tq, r, m,
+                               axis_name, tuple(mesh_axes))
+    kw = dict(interpret=pltpu.InterpretParams()) if interpret else {}
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n0 // P, np1 * P, h), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((2, n0, npc, h), jnp.float32)] * 2,  # staging
+        scratch_shapes=[
+            pltpu.VMEM((n0, tq), jnp.float32),
+            pltpu.VMEM((n0, tq), jnp.float32),
+            pltpu.VMEM((n0, tq), jnp.float32),
+            pltpu.VMEM((n0, tq), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        **kw,
+    )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+      jnp.asarray(ci))
+    return outs[0], outs[1]

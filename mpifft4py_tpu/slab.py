@@ -96,9 +96,22 @@ class _PackedDist1D:
         if dealias == "2/3-rule":
             fu = jnp.where(self._dealias_local(), fu, 0)
         br, bi = p3.pack_spectrum(fu)                        # pointwise
-        yr, yi = self._stage((br, bi), self._dist_axis, 0, 1, pipeline_axis=2,
-                             pre_fn=lambda t: p3.fft_axis_planar(
-                                 t[0], t[1], axis=0, inverse=True))
+        Pax = int(self.mesh.shape[self._dist_axis])
+        if (self.communication == "rdma" and Pax > 1
+                and p3.supported_c2c(int(self.N[0]))):
+            # inverse megakernel: x-IFFT + transpose fused, chunk c's remote
+            # DMAs overlapping chunk c+1's matmuls (parallel.rdma)
+            from .parallel.rdma import fused_ifft_x_transpose
+            interp = jax.default_backend() != "tpu"
+            yr, yi = fused_ifft_x_transpose(
+                br, bi, self._dist_axis, Pax,
+                mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
+                interpret=interp)
+        else:
+            yr, yi = self._stage((br, bi), self._dist_axis, 0, 1,
+                                 pipeline_axis=2,
+                                 pre_fn=lambda t: p3.fft_axis_planar(
+                                     t[0], t[1], axis=0, inverse=True))
         if p3._use_fused_zy(int(self.N[1]), N2):
             return p3.fused_zy_bwd(yr, yi, N2).astype(self.float)
         yr, yi = p3.fft_axis_planar(yr, yi, axis=1, inverse=True)

@@ -138,3 +138,42 @@ def test_fused_transpose_fft_x(rng, Pn, nchunks):
     for g, rf in zip(got, ref):
         scale = np.abs(np.asarray(rf)).max()
         assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("Pn,nchunks", [(2, 2), (4, 4)])
+def test_fused_ifft_x_transpose(rng, Pn, nchunks):
+    """Inverse megakernel (compute-then-send, double-buffered staging) ==
+    unfused inverse FFT + all_to_all."""
+    from mpifft4py_tpu.parallel.rdma import fused_ifft_x_transpose
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("p",))
+    N0, N1, h = 16, 16, 256
+    yr = rng.standard_normal((N0, N1, h)).astype(np.float32)
+    yi = rng.standard_normal((N0, N1, h)).astype(np.float32)
+
+    def fused(a, b):
+        return fused_ifft_x_transpose(a, b, "p", Pn, nchunks=nchunks,
+                                      interpret=True)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.shard_map(
+            fused, mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P("p"), P("p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+
+        def unfused(a, b):
+            a, b = p3.fft_axis_planar(a, b, axis=0, inverse=True)
+            a = jax.lax.all_to_all(a, "p", 0, 1, tiled=True)
+            b = jax.lax.all_to_all(b, "p", 0, 1, tiled=True)
+            return a, b
+
+        ref = jax.jit(jax.shard_map(
+            unfused, mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P("p"), P("p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+    for g, rf in zip(got, ref):
+        scale = np.abs(np.asarray(rf)).max()
+        assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
