@@ -273,9 +273,19 @@ class R2C(_PackedDist1D, BaseFFT):
         pair = self._stage((yr, yi), AXIS2, 2, 1,
                            lambda t: p3.fft_axis_planar(t[0], t[1], axis=1),
                            pipeline_axis=0)
-        pair = self._stage(pair, AXIS1, 1, 0,
-                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
-                           pipeline_axis=2)
+        if self.communication == "rdma" and self.P1 > 1:
+            # x-stage megakernel: transpose + x-FFT fused with DMA overlap
+            # (same (rows, N1, lanes) pattern as the slab forward)
+            from .parallel.rdma import fused_transpose_fft_x
+            interp = jax.default_backend() != "tpu"
+            pair = fused_transpose_fft_x(
+                pair[0], pair[1], AXIS1, self.P1,
+                mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
+                interpret=interp)
+        else:
+            pair = self._stage(pair, AXIS1, 1, 0,
+                               lambda t: p3.fft_axis_planar(t[0], t[1], axis=0),
+                               pipeline_axis=2)
         x = lax.complex(pair[0], pair[1])
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
@@ -287,9 +297,17 @@ class R2C(_PackedDist1D, BaseFFT):
             fu = jnp.where(self._dealias_local(), fu, 0)
         pr = jnp.real(fu).astype(jnp.float32)
         pi = jnp.imag(fu).astype(jnp.float32)
-        pair = self._stage((pr, pi), AXIS1, 0, 1, pipeline_axis=2,
-                           pre_fn=lambda t: p3.fft_axis_planar(
-                               t[0], t[1], axis=0, inverse=True))
+        if self.communication == "rdma" and self.P1 > 1:
+            from .parallel.rdma import fused_ifft_x_transpose
+            interp = jax.default_backend() != "tpu"
+            pair = fused_ifft_x_transpose(
+                pr, pi, AXIS1, self.P1,
+                mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
+                interpret=interp)
+        else:
+            pair = self._stage((pr, pi), AXIS1, 0, 1, pipeline_axis=2,
+                               pre_fn=lambda t: p3.fft_axis_planar(
+                                   t[0], t[1], axis=0, inverse=True))
         pair = self._stage(pair, AXIS2, 1, 2, pipeline_axis=0,
                            pre_fn=lambda t: p3.fft_axis_planar(
                                t[0], t[1], axis=1, inverse=True))
