@@ -433,3 +433,257 @@ def fused_ifft_x_transpose(yr, yi, axis_name: str, group_size: int, *,
     )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
       jnp.asarray(ci))
     return outs[0], outs[1]
+
+
+# ---------------------------------------------------------------------------
+# y-stage fused variants (pencil's P2-group transpose): FFT over axis 1,
+# chunked over axis 0.  Same overlap structure as the x-stage kernels.
+# ---------------------------------------------------------------------------
+
+def _fused_y_kernel(P, nc, n0, n1loc, w2, r, m, axis_name, mesh_axes,
+                    xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                    or_ref, oi_ref,
+                    vr_in, vi_in, vr_out, vi_out, wr_v, wi_v, cr_v, ci_v,
+                    send_sem, recv_sem, copy_sem):
+    from ..ops.pallas_fft3d import _factored_vals
+
+    my = lax.axis_index(axis_name).astype(jnp.int32)
+    n1 = n1loc * P                       # global y extent after concat
+
+    def dev_id(d):
+        return tuple(jnp.int32(d) if name == axis_name
+                     else lax.axis_index(name).astype(jnp.int32)
+                     for name in mesh_axes)
+
+    barrier = pltpu.get_barrier_semaphore()
+    for d in range(P):
+        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, P)
+    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)):
+        cp = pltpu.make_async_copy(ref, v, copy_sem)
+        cp.start(); cp.wait()
+
+    nrc = n0 // nc                       # rows per chunk
+
+    def mk(c, d, x_ref, o_ref, sem_idx):
+        # my rows chunk c, peer-d's LANE block → peer d's axis-1 slot `my`
+        src = x_ref.at[pl.ds(c * nrc, nrc), :, pl.ds(d * w2, w2)]
+        dst = o_ref.at[pl.ds(c * nrc, nrc), pl.ds(my * n1loc, n1loc), :]
+        return pltpu.make_async_remote_copy(
+            src_ref=src, dst_ref=dst,
+            send_sem=send_sem.at[sem_idx], recv_sem=recv_sem.at[sem_idx],
+            device_id=dev_id(d), device_id_type=pltpu.DeviceIdType.MESH)
+
+    sends = []
+    for c in range(nc):
+        for d in range(P):
+            a = mk(c, d, xr_ref, or_ref, (c, d, 0))
+            b = mk(c, d, xi_ref, oi_ref, (c, d, 1))
+            a.start(); b.start()
+            sends.append((a, b))
+    for c in range(nc):
+        wa = mk(c, 0, xr_ref, or_ref, (c, my, 0))
+        wb = mk(c, 0, xi_ref, oi_ref, (c, my, 1))
+        for _ in range(P):
+            wa.wait_recv()
+            wb.wait_recv()
+        for i in range(nrc):
+            row = c * nrc + i
+            sl = (row, slice(None), slice(None))
+            cp = pltpu.make_async_copy(or_ref.at[sl], vr_in, copy_sem)
+            cp.start(); cp.wait()
+            cp = pltpu.make_async_copy(oi_ref.at[sl], vi_in, copy_sem)
+            cp.start(); cp.wait()
+            yr, yi = _factored_vals(vr_in[...], vi_in[...], wr_v[...],
+                                    wi_v[...], cr_v[...], ci_v[...], r, m)
+            vr_out[...] = yr
+            vi_out[...] = yi
+            cp = pltpu.make_async_copy(vr_out, or_ref.at[sl], copy_sem)
+            cp.start(); cp.wait()
+            cp = pltpu.make_async_copy(vi_out, oi_ref.at[sl], copy_sem)
+            cp.start(); cp.wait()
+    for a, b in sends:
+        a.wait_send()
+        b.wait_send()
+
+
+def fused_transpose_fft_y(yr, yi, axis_name: str, group_size: int, *,
+                          mesh_axes=None, nchunks: int = 4,
+                          collective_id=None, interpret: bool = False):
+    """Pencil-forward y-stage fused: all-to-all (split LANES → concat axis 1)
+    plus the factored y-axis FFT, chunked over axis 0 for DMA/compute
+    overlap.  Input (n0, n1, w2·P); output (n0, n1·P, w2), y transformed —
+    ``fft_axis_planar(all_to_all(pair, split=2, concat=1), axis=1)`` fused."""
+    from ..ops.pallas_fft3d import _factor, _dft_cs, _combine_cs
+
+    P = int(group_size)
+    n0, n1loc, w2P = yr.shape
+    w2 = w2P // P
+    n1 = n1loc * P
+    nc = int(nchunks)
+    while n0 % nc:
+        nc -= 1
+    r, m = _factor(n1)
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    if collective_id is None:
+        collective_id = _next_collective_id()
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(n1, r, m, -1)
+    kernel = functools.partial(_fused_y_kernel, P, nc, n0, n1loc, w2, r, m,
+                               axis_name, tuple(mesh_axes))
+    kw = dict(interpret=pltpu.InterpretParams()) if interpret else {}
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n0, n1, w2), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        **kw,
+    )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+      jnp.asarray(ci))
+
+
+def _fused_y_inv_kernel(P, nc, n0, n1, w2, r, m, axis_name, mesh_axes,
+                        xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                        or_ref, oi_ref, sr_ref, si_ref,
+                        vr_in, vi_in, vr_out, vi_out, wr_v, wi_v, cr_v, ci_v,
+                        send_sem, recv_sem, copy_sem):
+    from ..ops.pallas_fft3d import _factored_vals
+
+    my = lax.axis_index(axis_name).astype(jnp.int32)
+    n1loc = n1 // P
+
+    def dev_id(d):
+        return tuple(jnp.int32(d) if name == axis_name
+                     else lax.axis_index(name).astype(jnp.int32)
+                     for name in mesh_axes)
+
+    barrier = pltpu.get_barrier_semaphore()
+    for d in range(P):
+        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
+                               device_id_type=pltpu.DeviceIdType.MESH)
+    pltpu.semaphore_wait(barrier, P)
+    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)):
+        cp = pltpu.make_async_copy(ref, v, copy_sem)
+        cp.start(); cp.wait()
+
+    nrc = n0 // nc
+    inv = jnp.float32(1.0 / n1)
+
+    def mk(c, d, s_ref, o_ref, sem_idx, slot):
+        # my transformed chunk c, axis-1 block d → peer d's LANE slot `my`
+        src = s_ref.at[slot, :, pl.ds(d * n1loc, n1loc), :]
+        dst = o_ref.at[pl.ds(c * nrc, nrc), :, pl.ds(my * w2, w2)]
+        return pltpu.make_async_remote_copy(
+            src_ref=src, dst_ref=dst,
+            send_sem=send_sem.at[sem_idx], recv_sem=recv_sem.at[sem_idx],
+            device_id=dev_id(d), device_id_type=pltpu.DeviceIdType.MESH)
+
+    pending = {}
+    for c in range(nc):
+        slot = c % 2
+        if c - 2 in pending:
+            for a, b in pending.pop(c - 2):
+                a.wait_send()
+                b.wait_send()
+        for i in range(nrc):
+            row = c * nrc + i
+            sl = (row, slice(None), slice(None))
+            ssl = (slot, i, slice(None), slice(None))
+            cp = pltpu.make_async_copy(xr_ref.at[sl], vr_in, copy_sem)
+            cp.start(); cp.wait()
+            cp = pltpu.make_async_copy(xi_ref.at[sl], vi_in, copy_sem)
+            cp.start(); cp.wait()
+            yr, yi = _factored_vals(vr_in[...], vi_in[...], wr_v[...],
+                                    wi_v[...], cr_v[...], ci_v[...], r, m)
+            vr_out[...] = yr * inv
+            vi_out[...] = yi * inv
+            cp = pltpu.make_async_copy(vr_out, sr_ref.at[ssl], copy_sem)
+            cp.start(); cp.wait()
+            cp = pltpu.make_async_copy(vi_out, si_ref.at[ssl], copy_sem)
+            cp.start(); cp.wait()
+        group = []
+        for d in range(P):
+            a = mk(c, d, sr_ref, or_ref, (c, d, 0), slot)
+            b = mk(c, d, si_ref, oi_ref, (c, d, 1), slot)
+            a.start(); b.start()
+            group.append((a, b))
+        pending[c] = group
+    for group in pending.values():
+        for a, b in group:
+            a.wait_send()
+            b.wait_send()
+    for c in range(nc):
+        wa = mk(c, 0, sr_ref, or_ref, (c, my, 0), 0)
+        wb = mk(c, 0, si_ref, oi_ref, (c, my, 1), 0)
+        for _ in range(P):
+            wa.wait_recv()
+            wb.wait_recv()
+
+
+def fused_ifft_y_transpose(yr, yi, axis_name: str, group_size: int, *,
+                           mesh_axes=None, nchunks: int = 4,
+                           collective_id=None, interpret: bool = False):
+    """Pencil-inverse y-stage fused: factored y-axis IFFT plus the
+    all-to-all (split axis 1 → concat LANES), double-buffered staging.
+    Input (n0, n1·P, w2); output (n0, n1, w2·P) —
+    ``all_to_all(fft_axis_planar(pair, axis=1, inverse=True), 1, 2)`` fused."""
+    from ..ops.pallas_fft3d import _factor, _dft_cs, _combine_cs
+
+    P = int(group_size)
+    n0, n1, w2 = yr.shape
+    nc = int(nchunks)
+    while n0 % nc:
+        nc -= 1
+    r, m = _factor(n1)
+    if mesh_axes is None:
+        mesh_axes = (axis_name,)
+    if collective_id is None:
+        collective_id = _next_collective_id()
+    wr, wi = _dft_cs(m, +1)
+    cr, ci = _combine_cs(n1, r, m, +1)
+    nrc = n0 // nc
+    kernel = functools.partial(_fused_y_inv_kernel, P, nc, n0, n1, w2, r, m,
+                               axis_name, tuple(mesh_axes))
+    kw = dict(interpret=pltpu.InterpretParams()) if interpret else {}
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((n0, n1 // P, w2 * P), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((2, nrc, n1, w2), jnp.float32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((n1, w2), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((m, m), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.VMEM((r * r * m, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA((nc, P, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=collective_id),
+        **kw,
+    )(yr, yi, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+      jnp.asarray(ci))
+    return outs[0], outs[1]

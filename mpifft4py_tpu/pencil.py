@@ -270,9 +270,17 @@ class R2C(_PackedDist1D, BaseFFT):
         from .ops import pallas_fft3d as p3
         yr, yi = p3.rfft_last_planar(u)           # (n0, n1, round_up(Nf,128))
         yr, yi = p3.fit_width(yr, yi, self.Nfp)
-        pair = self._stage((yr, yi), AXIS2, 2, 1,
-                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=1),
-                           pipeline_axis=0)
+        if self.communication == "rdma" and self.P2 > 1:
+            # y-stage megakernel over the P2 group (parallel.rdma)
+            from .parallel.rdma import fused_transpose_fft_y
+            interp = jax.default_backend() != "tpu"
+            pair = fused_transpose_fft_y(
+                yr, yi, AXIS2, self.P2, mesh_axes=self.mesh.axis_names,
+                nchunks=self._nchunks, interpret=interp)
+        else:
+            pair = self._stage((yr, yi), AXIS2, 2, 1,
+                               lambda t: p3.fft_axis_planar(t[0], t[1], axis=1),
+                               pipeline_axis=0)
         if self.communication == "rdma" and self.P1 > 1:
             # x-stage megakernel: transpose + x-FFT fused with DMA overlap
             # (same (rows, N1, lanes) pattern as the slab forward)
@@ -308,9 +316,17 @@ class R2C(_PackedDist1D, BaseFFT):
             pair = self._stage((pr, pi), AXIS1, 0, 1, pipeline_axis=2,
                                pre_fn=lambda t: p3.fft_axis_planar(
                                    t[0], t[1], axis=0, inverse=True))
-        pair = self._stage(pair, AXIS2, 1, 2, pipeline_axis=0,
-                           pre_fn=lambda t: p3.fft_axis_planar(
-                               t[0], t[1], axis=1, inverse=True))
+        if self.communication == "rdma" and self.P2 > 1:
+            from .parallel.rdma import fused_ifft_y_transpose
+            interp = jax.default_backend() != "tpu"
+            pair = fused_ifft_y_transpose(
+                pair[0], pair[1], AXIS2, self.P2,
+                mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
+                interpret=interp)
+        else:
+            pair = self._stage(pair, AXIS2, 1, 2, pipeline_axis=0,
+                               pre_fn=lambda t: p3.fft_axis_planar(
+                                   t[0], t[1], axis=1, inverse=True))
         w = p3._round_up(self.Nf, 128)
         yr, yi = p3.fit_width(pair[0][..., :self.Nf], pair[1][..., :self.Nf], w)
         return p3.irfft_last_planar(yr, yi, int(self.N[2])).astype(self.float)

@@ -177,3 +177,64 @@ def test_fused_ifft_x_transpose(rng, Pn, nchunks):
     for g, rf in zip(got, ref):
         scale = np.abs(np.asarray(rf)).max()
         assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("Pn", [2, 4])
+def test_fused_y_stage_kernels(rng, Pn):
+    """y-stage megakernels (pencil's P2-group transpose) == unfused paths."""
+    from mpifft4py_tpu.parallel.rdma import (fused_transpose_fft_y,
+                                             fused_ifft_y_transpose)
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("p",))
+    n0, N1, w2 = 8, 256, 128   # per-device fwd input (n0, N1/P, w2*P)
+    yr = rng.standard_normal((n0 * 1, N1, w2)).astype(np.float32)
+    yi = rng.standard_normal((n0 * 1, N1, w2)).astype(np.float32)
+    # global arrays: fwd input sharded (None, "p", None) with lanes w2*...:
+    # build global (n0, N1, w2) and treat lanes as the split axis
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.shard_map(
+            lambda a, b: fused_transpose_fft_y(a, b, "p", Pn, nchunks=2,
+                                               interpret=True),
+            mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P(None, None, "p"), P(None, None, "p")),
+            check_vma=False))(jnp.asarray(yr), jnp.asarray(yi))
+
+        def unfused(a, b):
+            a = jax.lax.all_to_all(a, "p", 2, 1, tiled=True)
+            b = jax.lax.all_to_all(b, "p", 2, 1, tiled=True)
+            return p3.fft_axis_planar(a, b, axis=1)
+
+        ref = jax.jit(jax.shard_map(
+            unfused, mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P(None, None, "p"), P(None, None, "p")),
+            check_vma=False))(jnp.asarray(yr), jnp.asarray(yi))
+        for g, rf in zip(got, ref):
+            scale = np.abs(np.asarray(rf)).max()
+            assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+
+        # inverse: input sharded on lanes, output sharded on axis 1
+        gi = jax.jit(jax.shard_map(
+            lambda a, b: fused_ifft_y_transpose(a, b, "p", Pn, nchunks=2,
+                                                interpret=True),
+            mesh=mesh, in_specs=(P(None, None, "p"), P(None, None, "p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(*got)
+
+        def unfused_inv(a, b):
+            a, b = p3.fft_axis_planar(a, b, axis=1, inverse=True)
+            a = jax.lax.all_to_all(a, "p", 1, 2, tiled=True)
+            b = jax.lax.all_to_all(b, "p", 1, 2, tiled=True)
+            return a, b
+
+        ri = jax.jit(jax.shard_map(
+            unfused_inv, mesh=mesh, in_specs=(P(None, None, "p"),
+                                              P(None, None, "p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(*ref)
+        for g, rf in zip(gi, ri):
+            scale = np.abs(np.asarray(rf)).max()
+            assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+        # and the fused round trip returns the input
+        for g, x0 in zip(gi, (yr, yi)):
+            assert np.abs(np.asarray(g) - x0).max() < 2e-5 * np.abs(x0).max()
