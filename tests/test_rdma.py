@@ -238,3 +238,21 @@ def test_fused_y_stage_kernels(rng, Pn):
         # and the fused round trip returns the input
         for g, x0 in zip(gi, (yr, yi)):
             assert np.abs(np.asarray(g) - x0).max() < 2e-5 * np.abs(x0).max()
+
+
+def test_line_rdma_transform_vs_numpy(rng, monkeypatch):
+    """2D line transform over the RDMA transpose (generic _stage branch)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mpifft4py_tpu import line
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    shape = (16, 256)
+    with pltpu.force_tpu_interpret_mode():
+        FFT = line.R2C(np.array(shape), np.array([TAU] * 2), 4, "single",
+                       communication="rdma")
+        u = rng.standard_normal(shape).astype(np.float32)
+        fu = np.asarray(FFT.fft2(FFT.shard_real(u)))
+        ref = np.fft.rfft2(u.astype(np.float64))
+        assert np.abs(fu[:, :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+        ub = np.asarray(FFT.ifft2(FFT.shard_complex(fu)))
+        assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
