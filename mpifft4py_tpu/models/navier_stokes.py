@@ -226,12 +226,23 @@ class NavierStokes3D(SpectralSolver):
     """
 
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
-                 spectral_layout: str = "complex", integrator: str = "RK4"):
+                 spectral_layout: str = "complex", integrator: str = "RK4",
+                 forcing_band: Optional[tuple] = None, forcing_rate: float = 0.0):
+        """``forcing_band=(k_lo, k_hi)`` with ``forcing_rate=ε`` adds the
+        constant-energy-injection low-wavenumber forcing of forced isotropic
+        turbulence (the spectralDNS sustained-turbulence configuration):
+        f̂ = ε·û/(2·E_band) on modes k_lo ≤ |k| < k_hi — injects energy at
+        exactly ε per unit time regardless of the band's current energy."""
         self.nu = float(nu)
         self.dealias = dealias  # _validate_packed reads it before _init_solver
         if spectral_layout not in ("complex", "packed"):
             raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
                              f"got {spectral_layout!r}")
+        if forcing_band is not None and spectral_layout == "packed":
+            raise ValueError("forcing is implemented on the complex layout")
+        self.forcing_band = (None if forcing_band is None
+                             else (float(forcing_band[0]), float(forcing_band[1])))
+        self.forcing_rate = float(forcing_rate)
         self.FFT = FFT
         if spectral_layout == "packed":
             self._validate_packed()
@@ -407,7 +418,19 @@ class NavierStokes3D(SpectralSolver):
         div = (K0 * F_hat[0] + K1 * F_hat[1] + K2v * F_hat[2]) \
             / jnp.where(ksq == 0, 1, ksq)
         F_hat = F_hat - jnp.stack([K0 * div, K1 * div, K2v * div])
-        return F_hat - self.nu * ksq[None] * U_hat
+        dU = F_hat - self.nu * ksq[None] * U_hat
+        if self.forcing_band is not None and self.forcing_rate > 0:
+            # constant-energy-injection band forcing: f̂ = α·û on
+            # k_lo ≤ |k| < k_hi with α = ε/(2 E_band) ⇒ dE/dt |_f = ε exactly
+            klo, khi = self.forcing_band
+            band = (ksq >= klo * klo) & (ksq < khi * khi)
+            w = jnp.where(K2v == 0, 1.0, 2.0)       # Hermitian half-spectrum
+            ntot = float(np.prod([int(n) for n in self.FFT.N]))
+            Eb = jnp.sum(jnp.where(band, w * jnp.abs(U_hat) ** 2, 0.0)) \
+                / (2.0 * ntot * ntot)
+            alpha = jnp.where(Eb > 0, self.forcing_rate / (2.0 * Eb), 0.0)
+            dU = dU + (alpha * band) * U_hat
+        return dU
 
     # -- packed-layout overrides of the SpectralSolver hooks -------------------
 

@@ -122,3 +122,34 @@ def test_padded_dealias_matches_mask_dealias():
     U32 = s32.step(s32.taylor_green())
     # TG at t=0 has only low modes: no aliasing yet, so results nearly agree
     assert np.allclose(np.asarray(U23), np.asarray(U32), atol=1e-8)
+
+
+def test_forced_turbulence_energy_balance():
+    """Constant-energy-injection band forcing: dE/dt = eps - dissipation.
+    With nu=0, the energy grows by exactly eps*dt per unit time (to RK4
+    accuracy); with forcing off nothing changes."""
+    N = np.array([16, 16, 16])
+    FFT = slab.R2C(N, np.array([TAU] * 3), 1, "double")
+    eps = 0.01
+    s = NavierStokes3D(FFT, nu=0.0, dt=0.002, dealias="2/3-rule",
+                       forcing_band=(0.5, 3.5), forcing_rate=eps)
+    U = s.taylor_green()
+    e0 = s.energy(U)
+    nsteps = 5
+    for _ in range(nsteps):
+        U = s.step(U)
+    e1 = s.energy(U)
+    # inviscid + forced: dE/dt == eps (nonlinear term conserves energy)
+    assert abs((e1 - e0) - eps * s.dt * nsteps) < 1e-8
+    # divergence-free preserved under forcing (forcing is parallel to u_hat)
+    import jax.numpy as jnp
+    div = jnp.sum(s.K * U, axis=0)
+    assert float(jnp.abs(div).max()) < 1e-10
+    # forced viscous run reaches a statistically steady balance direction:
+    # energy decays slower than unforced
+    sf = NavierStokes3D(FFT, nu=0.01, dt=0.002, dealias="2/3-rule",
+                        forcing_band=(0.5, 3.5), forcing_rate=eps)
+    su = NavierStokes3D(FFT, nu=0.01, dt=0.002, dealias="2/3-rule")
+    ef = sf.energy(sf.run(sf.taylor_green(), 5))
+    eu = su.energy(su.run(su.taylor_green(), 5))
+    assert ef > eu
