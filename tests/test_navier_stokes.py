@@ -153,3 +153,17 @@ def test_forced_turbulence_energy_balance():
     ef = sf.energy(sf.run(sf.taylor_green(), 5))
     eu = su.energy(su.run(su.taylor_green(), 5))
     assert ef > eu
+
+
+def test_forcing_distributed_matches_serial():
+    """The band-energy reduction inside the forced RHS is a global sum over
+    the sharded spectrum — P=4 must match P=1 to roundoff."""
+    N = np.array([16, 16, 16])
+    L = np.array([TAU] * 3)
+    kw = dict(nu=0.001, dt=0.002, dealias="2/3-rule",
+              forcing_band=(0.5, 3.5), forcing_rate=0.02)
+    s1 = NavierStokes3D(slab.R2C(N, L, 1, "double"), **kw)
+    s4 = NavierStokes3D(slab.R2C(N, L, 4, "double"), **kw)
+    U1 = s1.step(s1.taylor_green())
+    U4 = s4.step(s4.taylor_green())
+    assert np.allclose(np.asarray(U1), np.asarray(U4), atol=1e-12)
