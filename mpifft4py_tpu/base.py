@@ -169,7 +169,8 @@ class BaseFFT:
             # (planar MXU pipelines, dd limb pairs, real fields) — a complex
             # leaf means the XLA tier's spectrum reached the collective,
             # which rdma deliberately does not serve (loud, not silent).
-            from .parallel.rdma import rdma_all_to_all, rdma_supported
+            from .parallel.rdma import (rdma_all_to_all, rdma_interpret,
+                                        rdma_supported)
             if pre_fn is not None:
                 x = pre_fn(x)
             leaves = jax.tree.leaves(x)
@@ -179,7 +180,7 @@ class BaseFFT:
                     "collective (got "
                     f"{[str(v.dtype) for v in leaves]}); use the MXU "
                     "distributed pipeline (fp32) or another communication=")
-            interp = jax.default_backend() != "tpu"
+            interp = rdma_interpret()
             out = [rdma_all_to_all(v, axis_name, split_axis, concat_axis,
                                    int(self.mesh.shape[axis_name]),
                                    mesh_axes=self.mesh.axis_names,

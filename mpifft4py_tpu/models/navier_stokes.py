@@ -424,7 +424,10 @@ class NavierStokes3D(SpectralSolver):
             # k_lo ≤ |k| < k_hi with α = ε/(2 E_band) ⇒ dE/dt |_f = ε exactly
             klo, khi = self.forcing_band
             band = (ksq >= klo * klo) & (ksq < khi * khi)
-            w = jnp.where(K2v == 0, 1.0, 2.0)       # Hermitian half-spectrum
+            # Hermitian half-spectrum weights: k2 = 0 AND the self-conjugate
+            # z-Nyquist plane carry weight 1, interior columns weight 2
+            kny = float(np.pi * int(self.FFT.N[2]) / float(self.FFT.L[2]))
+            w = jnp.where((K2v == 0) | (K2v >= kny * (1.0 - 1e-6)), 1.0, 2.0)
             ntot = float(np.prod([int(n) for n in self.FFT.N]))
             Eb = jnp.sum(jnp.where(band, w * jnp.abs(U_hat) ** 2, 0.0)) \
                 / (2.0 * ntot * ntot)

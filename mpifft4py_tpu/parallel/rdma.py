@@ -41,25 +41,44 @@ def rdma_supported(x) -> bool:
     return x.dtype in (jnp.float32, jnp.float64, jnp.bfloat16, jnp.int32)
 
 
-def _a2a_kernel(P, axis_name, mesh_axes, split_axis, concat_axis,
-                x_ref, o_ref, send_sem, recv_sem):
-    my = lax.axis_index(axis_name).astype(jnp.int32)
+def rdma_interpret() -> bool:
+    """Run the Pallas TPU interpreter off-TPU (the CPU-mesh test story)."""
+    return jax.default_backend() != "tpu"
 
+
+def _dev_id_fn(axis_name, mesh_axes):
+    """MESH device-id builder: peer index on the transpose axis, this
+    device's own coordinate on every other mesh axis."""
     def dev_id(d):
-        # MESH device ids carry ONE coordinate per mesh axis: the transpose
-        # axis gets the peer index, every other axis keeps this device's own
-        # coordinate (pencil's P1×P2 mesh addresses peers within one group).
         return tuple(jnp.int32(d) if name == axis_name
                      else lax.axis_index(name).astype(jnp.int32)
                      for name in mesh_axes)
+    return dev_id
 
-    # global barrier: no device may post RDMAs before every peer has entered
-    # the kernel (its output buffer must exist / be quiescent)
+
+def _entry_barrier(P, dev_id):
+    """No device may post RDMAs before every peer has entered the kernel."""
     barrier = pltpu.get_barrier_semaphore()
     for d in range(P):
         pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
                                device_id_type=pltpu.DeviceIdType.MESH)
     pltpu.semaphore_wait(barrier, P)
+
+
+def _stage_consts(pairs, copy_sem):
+    """HBM→VMEM staging of constant matrices, one blocking copy each."""
+    for ref, v in pairs:
+        cp = pltpu.make_async_copy(ref, v, copy_sem)
+        cp.start()
+        cp.wait()
+
+
+
+def _a2a_kernel(P, axis_name, mesh_axes, split_axis, concat_axis,
+                x_ref, o_ref, send_sem, recv_sem):
+    my = lax.axis_index(axis_name).astype(jnp.int32)
+    dev_id = _dev_id_fn(axis_name, mesh_axes)
+    _entry_barrier(P, dev_id)
 
     c_split = x_ref.shape[split_axis] // P
     c_concat = o_ref.shape[concat_axis] // P
@@ -157,27 +176,11 @@ def _fused_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
 
     my = lax.axis_index(axis_name).astype(jnp.int32)
     np0 = n0 // P
+    dev_id = _dev_id_fn(axis_name, mesh_axes)
+    _entry_barrier(P, dev_id)
 
-    def dev_id(d):
-        return tuple(jnp.int32(d) if name == axis_name
-                     else lax.axis_index(name).astype(jnp.int32)
-                     for name in mesh_axes)
-
-    barrier = pltpu.get_barrier_semaphore()
-    for d in range(P):
-        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
-                               device_id_type=pltpu.DeviceIdType.MESH)
-    pltpu.semaphore_wait(barrier, P)
-
-    # stage the constant matrices into VMEM once
-    cp = pltpu.make_async_copy(wr_ref, wr_v, copy_sem)
-    cp.start(); cp.wait()
-    cp = pltpu.make_async_copy(wi_ref, wi_v, copy_sem)
-    cp.start(); cp.wait()
-    cp = pltpu.make_async_copy(cr_ref, cr_v, copy_sem)
-    cp.start(); cp.wait()
-    cp = pltpu.make_async_copy(ci_ref, ci_v, copy_sem)
-    cp.start(); cp.wait()
+    _stage_consts(((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)), copy_sem)
 
     npc = np1 // nc          # axis-1 columns per chunk
 
@@ -249,6 +252,7 @@ def fused_transpose_fft_x(yr, yi, axis_name: str, group_size: int, *,
     P = int(group_size)
     np0g, n1, h = yr.shape
     n0 = np0g * P
+    assert n1 % P == 0, (yr.shape, P)
     np1 = n1 // P
     nc = int(nchunks)
     while np1 % nc:
@@ -300,22 +304,11 @@ def _fused_inv_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
 
     my = lax.axis_index(axis_name).astype(jnp.int32)
     np0 = n0 // P
+    dev_id = _dev_id_fn(axis_name, mesh_axes)
+    _entry_barrier(P, dev_id)
 
-    def dev_id(d):
-        return tuple(jnp.int32(d) if name == axis_name
-                     else lax.axis_index(name).astype(jnp.int32)
-                     for name in mesh_axes)
-
-    barrier = pltpu.get_barrier_semaphore()
-    for d in range(P):
-        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
-                               device_id_type=pltpu.DeviceIdType.MESH)
-    pltpu.semaphore_wait(barrier, P)
-
-    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
-                   (ci_ref, ci_v)):
-        cp = pltpu.make_async_copy(ref, v, copy_sem)
-        cp.start(); cp.wait()
+    _stage_consts(((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)), copy_sem)
 
     npc = np1 // nc
     inv = jnp.float32(1.0 / n0)
@@ -393,6 +386,7 @@ def fused_ifft_x_transpose(yr, yi, axis_name: str, group_size: int, *,
 
     P = int(group_size)
     n0, np1, h = yr.shape
+    assert n0 % P == 0, (yr.shape, P)
     nc = int(nchunks)
     while np1 % nc:
         nc -= 1
@@ -449,21 +443,10 @@ def _fused_y_kernel(P, nc, n0, n1loc, w2, r, m, axis_name, mesh_axes,
 
     my = lax.axis_index(axis_name).astype(jnp.int32)
     n1 = n1loc * P                       # global y extent after concat
-
-    def dev_id(d):
-        return tuple(jnp.int32(d) if name == axis_name
-                     else lax.axis_index(name).astype(jnp.int32)
-                     for name in mesh_axes)
-
-    barrier = pltpu.get_barrier_semaphore()
-    for d in range(P):
-        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
-                               device_id_type=pltpu.DeviceIdType.MESH)
-    pltpu.semaphore_wait(barrier, P)
-    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
-                   (ci_ref, ci_v)):
-        cp = pltpu.make_async_copy(ref, v, copy_sem)
-        cp.start(); cp.wait()
+    dev_id = _dev_id_fn(axis_name, mesh_axes)
+    _entry_barrier(P, dev_id)
+    _stage_consts(((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)), copy_sem)
 
     nrc = n0 // nc                       # rows per chunk
 
@@ -520,6 +503,7 @@ def fused_transpose_fft_y(yr, yi, axis_name: str, group_size: int, *,
 
     P = int(group_size)
     n0, n1loc, w2P = yr.shape
+    assert w2P % P == 0, (yr.shape, P)
     w2 = w2P // P
     n1 = n1loc * P
     nc = int(nchunks)
@@ -568,21 +552,10 @@ def _fused_y_inv_kernel(P, nc, n0, n1, w2, r, m, axis_name, mesh_axes,
 
     my = lax.axis_index(axis_name).astype(jnp.int32)
     n1loc = n1 // P
-
-    def dev_id(d):
-        return tuple(jnp.int32(d) if name == axis_name
-                     else lax.axis_index(name).astype(jnp.int32)
-                     for name in mesh_axes)
-
-    barrier = pltpu.get_barrier_semaphore()
-    for d in range(P):
-        pltpu.semaphore_signal(barrier, 1, device_id=dev_id(d),
-                               device_id_type=pltpu.DeviceIdType.MESH)
-    pltpu.semaphore_wait(barrier, P)
-    for ref, v in ((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
-                   (ci_ref, ci_v)):
-        cp = pltpu.make_async_copy(ref, v, copy_sem)
-        cp.start(); cp.wait()
+    dev_id = _dev_id_fn(axis_name, mesh_axes)
+    _entry_barrier(P, dev_id)
+    _stage_consts(((wr_ref, wr_v), (wi_ref, wi_v), (cr_ref, cr_v),
+                   (ci_ref, ci_v)), copy_sem)
 
     nrc = n0 // nc
     inv = jnp.float32(1.0 / n1)
@@ -649,6 +622,7 @@ def fused_ifft_y_transpose(yr, yi, axis_name: str, group_size: int, *,
 
     P = int(group_size)
     n0, n1, w2 = yr.shape
+    assert n1 % P == 0, (yr.shape, P)
     nc = int(nchunks)
     while n0 % nc:
         nc -= 1

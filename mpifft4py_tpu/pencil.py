@@ -272,8 +272,8 @@ class R2C(_PackedDist1D, BaseFFT):
         yr, yi = p3.fit_width(yr, yi, self.Nfp)
         if self.communication == "rdma" and self.P2 > 1:
             # y-stage megakernel over the P2 group (parallel.rdma)
-            from .parallel.rdma import fused_transpose_fft_y
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_transpose_fft_y, rdma_interpret
+            interp = rdma_interpret()
             pair = fused_transpose_fft_y(
                 yr, yi, AXIS2, self.P2, mesh_axes=self.mesh.axis_names,
                 nchunks=self._nchunks, interpret=interp)
@@ -284,8 +284,8 @@ class R2C(_PackedDist1D, BaseFFT):
         if self.communication == "rdma" and self.P1 > 1:
             # x-stage megakernel: transpose + x-FFT fused with DMA overlap
             # (same (rows, N1, lanes) pattern as the slab forward)
-            from .parallel.rdma import fused_transpose_fft_x
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_transpose_fft_x, rdma_interpret
+            interp = rdma_interpret()
             pair = fused_transpose_fft_x(
                 pair[0], pair[1], AXIS1, self.P1,
                 mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
@@ -306,8 +306,8 @@ class R2C(_PackedDist1D, BaseFFT):
         pr = jnp.real(fu).astype(jnp.float32)
         pi = jnp.imag(fu).astype(jnp.float32)
         if self.communication == "rdma" and self.P1 > 1:
-            from .parallel.rdma import fused_ifft_x_transpose
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_ifft_x_transpose, rdma_interpret
+            interp = rdma_interpret()
             pair = fused_ifft_x_transpose(
                 pr, pi, AXIS1, self.P1,
                 mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
@@ -317,8 +317,8 @@ class R2C(_PackedDist1D, BaseFFT):
                                pre_fn=lambda t: p3.fft_axis_planar(
                                    t[0], t[1], axis=0, inverse=True))
         if self.communication == "rdma" and self.P2 > 1:
-            from .parallel.rdma import fused_ifft_y_transpose
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_ifft_y_transpose, rdma_interpret
+            interp = rdma_interpret()
             pair = fused_ifft_y_transpose(
                 pair[0], pair[1], AXIS2, self.P2,
                 mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,

@@ -70,11 +70,11 @@ class _PackedDist1D:
             yr, yi = p3.fft_axis_planar(yr, yi, axis=1)
         Pax = int(self.mesh.shape[self._dist_axis])
         if (self.communication == "rdma" and Pax > 1
-                and (N1 // Pax) >= 1 and p3.supported_c2c(int(self.N[0]))):
+                and p3.supported_c2c(int(self.N[0]))):
             # megakernel: transpose + x-FFT fused, chunk c+1's remote DMAs
             # overlapping chunk c's MXU matmuls (parallel.rdma)
-            from .parallel.rdma import fused_transpose_fft_x
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_transpose_fft_x, rdma_interpret
+            interp = rdma_interpret()
             yr, yi = fused_transpose_fft_x(
                 yr, yi, self._dist_axis, Pax,
                 mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,
@@ -101,8 +101,8 @@ class _PackedDist1D:
                 and p3.supported_c2c(int(self.N[0]))):
             # inverse megakernel: x-IFFT + transpose fused, chunk c's remote
             # DMAs overlapping chunk c+1's matmuls (parallel.rdma)
-            from .parallel.rdma import fused_ifft_x_transpose
-            interp = jax.default_backend() != "tpu"
+            from .parallel.rdma import fused_ifft_x_transpose, rdma_interpret
+            interp = rdma_interpret()
             yr, yi = fused_ifft_x_transpose(
                 br, bi, self._dist_axis, Pax,
                 mesh_axes=self.mesh.axis_names, nchunks=self._nchunks,

@@ -130,40 +130,86 @@ def dealias_cutoffs(N: Sequence[int]) -> np.ndarray:
     return np.array([(2.0 / 3.0) * (n // 2) for n in N])
 
 
-def regrid(fu, N_new):
+def regrid(fu, N_new, N_old=None):
     """Spectral resampling of an rfftn-layout spectrum to a new grid size.
 
-    ``fu`` has shape (…, n0, n1, n2//2+1) (numpy ``rfftn`` convention over
-    the last three axes, unnormalised); the result is the spectrum of the
-    SAME continuum trigonometric polynomial sampled on the ``N_new`` grid
+    ``fu`` has shape (…, n0, n1, nf) (numpy ``rfftn`` convention over the
+    last three axes, unnormalised); the result is the spectrum of the SAME
+    continuum trigonometric polynomial sampled on the ``N_new`` grid
     (band-limited / exact trigonometric interpolation when refining; spectral
     truncation when coarsening).  The unnormalised-DFT amplitude scales with
     the point count, so shared modes are multiplied by ∏N_new/∏N_old —
-    ``irfftn(regrid(rfftn(u), M)) `` IS u's trig interpolant on the M grid.
-    The padded (3/2-rule) transforms use the same Nyquist-splitting helpers;
-    this utility exposes them for resolution-change restarts (regrid a saved
-    ``utils.io`` state, then continue on the finer grid).
+    ``irfftn(regrid(rfftn(u), M))`` IS u's trig interpolant on the M grid.
+
+    ``N_old`` is the ORIGINAL grid (int[3]).  Required when the last axis
+    carries alignment padding (pencil gathers: width Nfp ≥ Nf) — without it
+    the old grid is inferred as ``2·(nf−1)``, which is only correct for
+    exact-rfftn widths; padded columns are sliced off first.
+
+    Backend-dispatching: numpy in → numpy out (NO device transfer — complex
+    host↔device transfers are forbidden on the axon relay, and the
+    checkpoint→regrid→continue workflow runs on gathered host arrays),
+    jax in → jax ops.
     """
+    xp = np if isinstance(fu, np.ndarray) else jnp
     N_new = [int(n) for n in N_new]
     assert len(N_new) == 3 and all(n % 2 == 0 for n in N_new), N_new
     nd = fu.ndim
-    n_old = [fu.shape[nd - 3], fu.shape[nd - 2], 2 * (fu.shape[nd - 1] - 1)]
+    if N_old is None:
+        n_old = [fu.shape[nd - 3], fu.shape[nd - 2],
+                 2 * (fu.shape[nd - 1] - 1)]
+    else:
+        n_old = [int(n) for n in N_old]
+        assert fu.shape[nd - 3] == n_old[0] and fu.shape[nd - 2] == n_old[1]
+        fu = fu[..., :n_old[2] // 2 + 1]          # drop alignment padding
+
+    def slc(axis, start, stop):
+        s = [slice(None)] * nd
+        s[axis] = slice(start, stop)
+        return tuple(s)
+
+    def pad_full(x, axis, M):
+        Nax = x.shape[axis]
+        if M == Nax:
+            return x
+        hh = Nax // 2
+        zshape = list(x.shape)
+        zshape[axis] = M - Nax - 1
+        ny = x[slc(axis, hh, hh + 1)] * 0.5
+        return xp.concatenate(
+            [x[slc(axis, 0, hh)], ny, xp.zeros(zshape, dtype=x.dtype), ny,
+             x[slc(axis, hh + 1, Nax)]], axis=axis)
+
+    def trunc_full(x, axis, Nn):
+        M = x.shape[axis]
+        if M == Nn:
+            return x
+        hh = Nn // 2
+        ny = x[slc(axis, hh, hh + 1)] + x[slc(axis, M - hh, M - hh + 1)]
+        return xp.concatenate(
+            [x[slc(axis, 0, hh)], ny, x[slc(axis, M - hh + 1, M)]], axis=axis)
+
     x = fu
     for i, ax in enumerate((nd - 3, nd - 2)):
         if N_new[i] > n_old[i]:
-            x = pad_full_axis(x, ax, N_new[i])
+            x = pad_full(x, ax, N_new[i])
         elif N_new[i] < n_old[i]:
-            x = trunc_full_axis(x, ax, N_new[i])
+            x = trunc_full(x, ax, N_new[i])
     nf_new = N_new[2] // 2 + 1
+    nf_old = n_old[2] // 2 + 1
     if N_new[2] > n_old[2]:
-        x = pad_half_axis(x, nd - 1, nf_new)
+        zshape = list(x.shape)
+        zshape[nd - 1] = nf_new - nf_old
+        x = xp.concatenate(
+            [x[..., :nf_old - 1], x[..., nf_old - 1:nf_old] * 0.5,
+             xp.zeros(zshape, dtype=x.dtype)], axis=-1)
     elif N_new[2] < n_old[2]:
-        x = trunc_half_axis(x, nd - 1, nf_new)
+        x = xp.concatenate(
+            [x[..., :nf_new - 1], x[..., nf_new - 1:nf_new] * 2.0], axis=-1)
         # the truncated z-Nyquist plane keeps only the self-conjugate part
         q = x[..., -1]
-        x = jnp.concatenate(
-            [x[..., :-1],
-             (0.5 * (q + flip_conj_plane(q, (nd - 3, nd - 2))))[..., None]],
-            axis=-1)
+        axes = (nd - 3, nd - 2)
+        f = xp.conj(xp.roll(xp.flip(q, axis=axes), (1, 1), axis=axes))
+        x = xp.concatenate([x[..., :-1], (0.5 * (q + f))[..., None]], axis=-1)
     scale = np.prod(N_new, dtype=np.float64) / np.prod(n_old, dtype=np.float64)
     return x * x.dtype.type(scale)

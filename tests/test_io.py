@@ -85,8 +85,10 @@ def test_regrid_restart_at_higher_resolution(rng, tmp_path):
     F2 = slab.R2C(np.array([24] * 3), L, 4, "double")
     s2 = NavierStokes3D(F2, nu=0.01, dt=0.005, dealias="2/3-rule")
     U1, meta = io.load_state(p, F1)
-    U2 = F2.shard_complex(np.asarray(
-        regrid(jnp.asarray(F1.gather(U1)), (24, 24, 24))))
+    # numpy in -> numpy out: NO complex device transfer (relay-safe path)
+    fu_fine = regrid(F1.gather(U1), (24, 24, 24))
+    assert isinstance(fu_fine, np.ndarray)
+    U2 = F2.shard_complex(fu_fine)
     assert abs(s2.energy(U2) - e_coarse) < 1e-12  # same continuum field
     U2 = s2.step(U2)
     assert 0 < s2.energy(U2) < e_coarse

@@ -177,3 +177,12 @@ def test_regrid_spectral_resampling(rng):
     assert fz.shape == (16, 16, 25)
     assert np.allclose(np.asarray(regrid(jnp.asarray(fz), (16, 16, 16))), fu,
                        atol=1e-10)
+    # numpy input stays numpy (relay-safe), identical values
+    fn = regrid(np.asarray(fu), (32, 32, 32))
+    assert isinstance(fn, np.ndarray)
+    assert np.allclose(fn, fu_f, atol=1e-12)
+    # alignment-padded width (pencil Nfp > Nf) with explicit N_old
+    fpad = np.concatenate([np.asarray(fu),
+                           np.zeros((16, 16, 3), fu.dtype)], axis=-1)
+    fp = regrid(fpad, (32, 32, 32), N_old=(16, 16, 16))
+    assert np.allclose(fp, fu_f, atol=1e-12)
