@@ -46,3 +46,34 @@ def test_doubleword_relative_targets():
     assert np.abs(FFT.gather_dd(fu) - ref).max() / np.abs(ref).max() < 1e-12
     ub = FFT.gather_dd(FFT.ifftn(fu))
     assert np.abs(ub - u).max() / np.abs(u).max() < 1e-12
+
+
+@tpu_only
+def test_rdma_kernels_lower_on_hardware():
+    """The RDMA megakernels must LOWER through Mosaic on real TPU (interpret
+    mode cannot prove lowering — jnp.flip's `rev`, for example, interprets
+    fine but has no TC lowering).  P=1 self-RDMA exercises the full DMA/
+    semaphore/matmul choreography on one chip; the fused forward is matmul-
+    identical to fft_axis_planar (bitwise on hardware, measured 0.0)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from mpifft4py_tpu.parallel.rdma import (fused_transpose_fft_x,
+                                             fused_ifft_x_transpose)
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("p",))
+    rng = np.random.default_rng(0)
+    yr = jnp.asarray(rng.standard_normal((16, 16, 128)).astype(np.float32))
+    yi = jnp.asarray(rng.standard_normal((16, 16, 128)).astype(np.float32))
+    f = jax.jit(jax.shard_map(
+        lambda a, b: fused_transpose_fft_x(a, b, "p", 1), mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False))
+    got = f(yr, yi)
+    ref = jax.jit(lambda a, b: p3.fft_axis_planar(a, b, axis=0))(yr, yi)
+    for g, r in zip(got, ref):
+        assert float(jnp.abs(g - r).max()) < 1e-5
+    g2 = jax.jit(jax.shard_map(
+        lambda a, b: fused_ifft_x_transpose(a, b, "p", 1), mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False))(*got)
+    for g, x0 in zip(g2, (yr, yi)):
+        assert float(jnp.abs(g - x0).max()) < 1e-5
