@@ -81,7 +81,7 @@ def main():
     rows = []
     sizes = [64, 256] if jax.default_backend() == "tpu" else [64]
     if "--big" in sys.argv:
-        sizes.append(512)
+        sizes += [384, 512]   # 384 = 3*2^7: the mixed-radix tier
     for N in sizes:
         audit_fp32(N, rows)
         print(json.dumps(rows[-3:]), flush=True)
