@@ -323,7 +323,10 @@ class NavierStokes3D(SpectralSolver):
                               K2v * V[0] - K0 * V[2],
                               K0 * V[1] - K1 * V[0]])
 
-        # ω̂ = i K × Û  →  (re, im) = (−K×Ui, K×Ur)
+        # ω̂ = i K × Û  →  (re, im) = (−K×Ui, K×Ur).  Two 3-stack inverse
+        # chains deliberately: a single 6-stack (concatenated) call measured
+        # 84.5 vs 77.0 ms/step at 256³ — the concat materialisations cost
+        # more than the saved kernel launches.
         U = p3.irfft3d_packed(Ur, Ui, s)         # (3, N0, N1, N2), batched
         W = p3.irfft3d_packed(-kx(Ui), kx(Ur), s)
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],
