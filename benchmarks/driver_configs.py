@@ -128,6 +128,49 @@ def main():
         t = measure(lambda f: fwd32(bwd32(f)), fu0)
         report("5_pencil_dns_overlapped_padded", FFTp, t, err)
 
+    # 6. transpose GB/s/chip, MEASURED (BASELINE.json:2's second metric).
+    # One chip cannot exercise ICI; the honest hardware proxy is the P=1
+    # self-RDMA all-to-all through the SAME Pallas kernel machinery the
+    # multi-chip transpose uses — a straight HBM->HBM copy, so the number is
+    # the HBM floor the transpose rides, not an ICI measurement.
+    try:
+        import jax as _jax
+        from jax.sharding import PartitionSpec as _P
+        from mpifft4py_tpu.parallel.mesh import AXIS, slab_mesh
+        from mpifft4py_tpu.parallel.rdma import rdma_all_to_all, rdma_interpret
+
+        mesh = slab_mesh(1)
+        # payload large enough to amortise the ~1.3 ms kernel/barrier
+        # overhead (measured: 32 MiB -> 25 GB/s, 512 MiB -> 113 GB/s payload;
+        # marginal rate ~150 GB/s payload = ~300 GB/s HBM read+write)
+        shape = (64, 64, 128) if (smoke or jax.default_backend() != "tpu") \
+            else (512, 512, 512)
+        x = jax.device_put(
+            rng.standard_normal(shape).astype(np.float32),
+            jax.sharding.NamedSharding(mesh, _P(AXIS, None, None)))
+        interp = rdma_interpret()
+
+        def selfcopy(v):
+            return rdma_all_to_all(v, AXIS, 1, 0, 1, mesh_axes=(AXIS,),
+                                   interpret=interp)
+        fn = _jax.shard_map(selfcopy, mesh=mesh,
+                            in_specs=_P(AXIS, None, None),
+                            out_specs=_P(AXIS, None, None), check_vma=False)
+        t_copy = measure(fn, x, iters=20)
+        payload = int(np.prod(shape)) * 4
+        row = {"config": "6_rdma_selfcopy_transpose_bw",
+               "roundtrip_ms": round(t_copy * 1e3, 3),
+               "payload_bytes": payload,
+               "transpose_GBps_chip": round(payload / t_copy / 1e9, 2),
+               "devices": 1,
+               "note": "P=1 self-RDMA HBM copy via the rdma transpose kernel; "
+                       "ICI untestable on one chip"}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    except Exception as e:  # never fail the sweep over the proxy metric
+        print(json.dumps({"config": "6_rdma_selfcopy_transpose_bw",
+                          "error": repr(e)[:200]}), flush=True)
+
     print(json.dumps({"summary": results}))
     if "--out" in sys.argv:
         path = sys.argv[sys.argv.index("--out") + 1]

@@ -238,8 +238,6 @@ class NavierStokes3D(SpectralSolver):
         if spectral_layout not in ("complex", "packed"):
             raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
                              f"got {spectral_layout!r}")
-        if forcing_band is not None and spectral_layout == "packed":
-            raise ValueError("forcing is implemented on the complex layout")
         self.forcing_band = (None if forcing_band is None
                              else (float(forcing_band[0]), float(forcing_band[1])))
         self.forcing_rate = float(forcing_rate)
@@ -248,6 +246,13 @@ class NavierStokes3D(SpectralSolver):
             self._validate_packed()
         self._init_solver(FFT, dt, dealias, integrator)
         self.spectral_layout = spectral_layout
+        if spectral_layout == "packed":
+            # distributed-capable packed transforms (slab any P; pencil
+            # P2==1): the forward purifies the plane-0 Nyquist rider and
+            # applies the 2/3-rule mask; the state is always masked, so the
+            # inverse needs no mask of its own.
+            self._fwd_pk = FFT.forward_packed_fn(dealias)
+            self._bwd_pk = FFT.backward_packed_fn()
 
     # -- packed spectral layout (MXU fast path without complex boundaries) -----
     #
@@ -257,26 +262,21 @@ class NavierStokes3D(SpectralSolver):
     # (3, N0, N1, N2/2) IS the spectrum on k2 = 0..h−1, and the whole RK4 step
     # runs on float32 pairs — no pack/unpack/complex materialisation around
     # any of the 36 transforms per step.  Measured 256³: 85 ms/step vs 112 ms
-    # through the complex boundary (see BENCH.md).
+    # through the complex boundary (see BENCH.md).  Distributed (P>1): the
+    # pair crosses the single transpose via the _PackedDist1D pipeline — the
+    # fast layout survives slab (and pencil-P2==1) sharding.
 
     def _validate_packed(self):
-        import jax as _jax
-        import os
-        from ..ops import pallas_fft3d as p3
         FFT = self.FFT
-        N = [int(n) for n in FFT.N]
-        ok = (getattr(FFT, "P", 0) == 1 and FFT.policy.path == "native"
-              and FFT.float == np.float32 and (N[2] // 2) % 128 == 0
-              and p3.supported_r2c(N[2]) and p3.supported_c2c(N[0])
-              and p3.supported_c2c(N[1]) and self.dealias == "2/3-rule")
+        ok = (self.dealias == "2/3-rule"
+              and hasattr(FFT, "_packed_iface_ok")
+              and FFT._packed_iface_ok(self.dealias))
         if not ok:
             raise ValueError(
-                "spectral_layout='packed' needs a single-device slab R2C, "
-                "fp32, (N2/2) % 128 == 0, and dealias='2/3-rule'")
-        if not (_jax.default_backend() == "tpu"
-                or os.environ.get("MPIFFT4PY_TPU_PALLAS_DIST") == "force"):
-            raise ValueError("spectral_layout='packed' runs the Pallas kernel "
-                             "tier — TPU backend required")
+                "spectral_layout='packed' needs an fp32 R2C decomposition "
+                "with a single distributed transpose (slab at any P, or "
+                "pencil with P2==1), (N2/2) % 128 == 0, dealias='2/3-rule', "
+                "and the TPU Pallas tier")
 
     def _packed_arrays(self):
         """FACTORED wavenumber state for the packed RHS: 1-D scaled
@@ -303,8 +303,13 @@ class NavierStokes3D(SpectralSolver):
 
     def to_packed(self, U_hat):
         """complex state (3,)+global_complex_shape() -> packed (Ur, Ui) pair.
-        The state must be Nyquist-free (guaranteed under 2/3-rule)."""
+        The state must be Nyquist-free (guaranteed under 2/3-rule).  Pencil
+        alignment padding (width Nfp > Nf) is sliced off first — the packed
+        pair always has width Nf−1 = N2/2."""
         from ..ops import pallas_fft3d as p3
+        nf = int(getattr(self.FFT, "Nf", U_hat.shape[-1]))
+        if U_hat.shape[-1] > nf:
+            U_hat = U_hat[..., :nf]
         return p3.pack_spectrum(U_hat)
 
     def from_packed(self, U):
@@ -312,8 +317,7 @@ class NavierStokes3D(SpectralSolver):
         return p3.unpack_spectrum(U[0], U[1])
 
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
-        from ..ops import pallas_fft3d as p3
-        s = self.FFT.global_real_shape()
+        del m0, m1, m2  # the mask lives inside the packed forward transform
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
@@ -327,23 +331,34 @@ class NavierStokes3D(SpectralSolver):
         # chains deliberately: a single 6-stack (concatenated) call measured
         # 84.5 vs 77.0 ms/step at 256³ — the concat materialisations cost
         # more than the saved kernel launches.
-        U = p3.irfft3d_packed(Ur, Ui, s)         # (3, N0, N1, N2), batched
-        W = p3.irfft3d_packed(-kx(Ui), kx(Ur), s)
+        U = self._bwd_pk((Ur, Ui))               # (3, N0, N1, N2), batched
+        W = self._bwd_pk((-kx(Ui), kx(Ur)))
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],
                        U[2] * W[0] - U[0] * W[2],
                        U[0] * W[1] - U[1] * W[0]])
-        Fr, Fi = p3.rfft3d_packed(F)
-        Fr, Fi = p3.purify_plane0(Fr, Fi)        # drop the Nyquist rider
-        mask = m0[:, None, None] & m1[None, :, None] & m2[None, None, :]
-        Fr = jnp.where(mask, Fr, 0)
-        Fi = jnp.where(mask, Fi, 0)
+        Fr, Fi = self._fwd_pk(F)                 # purify + 2/3-rule mask inside
         ksq = K0 * K0 + K1 * K1 + K2v * K2v
         inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
         dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
         di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
         Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
         Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
-        return Fr - self.nu * ksq[None] * Ur, Fi - self.nu * ksq[None] * Ui
+        dUr = Fr - self.nu * ksq[None] * Ur
+        dUi = Fi - self.nu * ksq[None] * Ui
+        if self.forcing_band is not None and self.forcing_rate > 0:
+            # packed-layout band forcing (complex-layout mirror below): after
+            # purification the packed pair holds no Nyquist modes, so the
+            # Hermitian weights are simply 1 on column k2=0 and 2 elsewhere.
+            klo, khi = self.forcing_band
+            band = (ksq >= klo * klo) & (ksq < khi * khi)
+            w = jnp.where(K2v == 0, 1.0, 2.0)
+            ntot = float(np.prod([int(n) for n in self.FFT.N]))
+            Eb = jnp.sum(jnp.where(band, w * (Ur * Ur + Ui * Ui), 0.0)) \
+                / (2.0 * ntot * ntot)
+            alpha = jnp.where(Eb > 0, self.forcing_rate / (2.0 * Eb), 0.0)
+            dUr = dUr + (alpha * band) * Ur
+            dUi = dUi + (alpha * band) * Ui
+        return dUr, dUi
 
     def step_fn_packed(self):
         """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1, m2)

@@ -156,6 +156,14 @@ def regrid(fu, N_new, N_old=None):
     assert len(N_new) == 3 and all(n % 2 == 0 for n in N_new), N_new
     nd = fu.ndim
     if N_old is None:
+        # an exact rfftn width of an even grid is N/2+1, always ODD — an even
+        # last-axis width means alignment padding (pencil gather Nfp > Nf)
+        # would be silently reinterpreted as spectrum (ADVICE r2)
+        if fu.shape[nd - 1] % 2 == 0:
+            raise ValueError(
+                f"last-axis width {fu.shape[nd - 1]} is not an exact rfftn "
+                "layout (even); pass N_old= so alignment padding can be "
+                "sliced off")
         n_old = [fu.shape[nd - 3], fu.shape[nd - 2],
                  2 * (fu.shape[nd - 1] - 1)]
     else:

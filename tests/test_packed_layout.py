@@ -101,3 +101,123 @@ def test_packed_layout_validation():
     with pytest.raises(ValueError, match="packed"):
         NavierStokes3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule",
                        spectral_layout="packed")
+
+
+# -- distributed packed layout (VERDICT r2 next-step 1) ----------------------
+
+
+def _packed_vs_numpy(FFT, rng, shape):
+    import jax.numpy as jnp
+
+    fwd = jax.jit(FFT.forward_packed_fn("2/3-rule"))
+    bwd = jax.jit(FFT.backward_packed_fn())
+    u = rng.standard_normal(shape).astype(np.float32)
+    yr, yi = fwd(FFT.shard_real(u))
+    ref = np.fft.rfftn(u.astype(np.float64), axes=(-3, -2, -1))
+    h = shape[-1] // 2
+    filt = np.asarray(FFT.get_dealias_filter()).astype(bool)[..., :h]
+    got = np.asarray(jax.lax.complex(yr, yi))
+    want = np.where(filt, ref[..., :h], 0)
+    assert np.abs(got - want).max() / np.abs(ref).max() < 2e-6
+    # inverse of the masked packed pair == numpy inverse of the masked spectrum
+    full = np.concatenate([want, np.zeros(want.shape[:-1] + (1,), want.dtype)],
+                          axis=-1)
+    uref = np.fft.irfftn(full, s=shape[-3:], axes=(-3, -2, -1))
+    ub = np.asarray(bwd((jnp.asarray(got.real), jnp.asarray(got.imag))))
+    assert np.abs(ub - uref).max() / np.abs(uref).max() < 2e-6
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_packed_interface_distributed_slab(rng, P):
+    shape = (16, 16, 256)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), P, "single")
+    assert FFT._packed_iface_ok("2/3-rule")
+    _packed_vs_numpy(FFT, rng, shape)
+
+
+def test_packed_interface_distributed_pencil_p2_1(rng):
+    from mpifft4py_tpu import pencil
+
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single", P1=4)
+    assert FFT.P2 == 1 and FFT._packed_iface_ok("2/3-rule")
+    _packed_vs_numpy(FFT, rng, shape)
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_packed_dns_distributed_matches_serial(rng, P):
+    """One packed RK4 step on a P-device slab mesh == the serial packed step
+    (the fast layout must survive sharding — VERDICT r2 next-step 1)."""
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+
+    shape = (16, 16, 256)
+    L = np.array([TAU] * 3)
+    Fs = slab.R2C(np.array(shape), L, 1, "single")
+    Fd = slab.R2C(np.array(shape), L, P, "single")
+    ss = NavierStokes3D(Fs, nu=0.01, dt=0.001, dealias="2/3-rule",
+                        spectral_layout="packed")
+    sd = NavierStokes3D(Fd, nu=0.01, dt=0.001, dealias="2/3-rule",
+                        spectral_layout="packed")
+    Us = ss.taylor_green()
+    Ud = sd.taylor_green()
+    assert abs(ss.energy_packed(Us) - sd.energy_packed(Ud)) < 1e-6
+    Us = ss.step(Us)
+    Ud = sd.step(Ud)
+    for a, b in zip(Us, Ud):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+    assert abs(ss.energy_packed(Us) - sd.energy_packed(Ud)) < 1e-6
+
+
+def test_packed_forcing_matches_complex(rng):
+    """Band forcing on the packed pair == the complex-layout forcing term
+    (VERDICT r2 next-step 8)."""
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+
+    shape = (16, 16, 256)
+    L = np.array([TAU] * 3)
+    FFT = slab.R2C(np.array(shape), L, 1, "single")
+    kw = dict(nu=0.01, dt=0.001, dealias="2/3-rule",
+              forcing_band=(0.5, 2.5), forcing_rate=0.3)
+    sc = NavierStokes3D(FFT, **kw)
+    sp = NavierStokes3D(FFT, spectral_layout="packed", **kw)
+    Uc = sc.taylor_green()
+    Up = sp.taylor_green()
+    Uc = sc.step(Uc)
+    Up = sp.step(Up)
+    got = np.asarray(sp.from_packed(Up))
+    ref = np.asarray(Uc)[..., :got.shape[-1]]
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_packed_interface_pencil_wide(rng):
+    """P2>1 pencil packed interface — the WIDE choreography (full-lane
+    packed pipeline, VERDICT r2 next-step 2): parity vs numpy at 2x2
+    (8 simulated devices deadlock the Mosaic interpreter — see top note)."""
+    from mpifft4py_tpu import pencil
+
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single", P1=2)
+    assert FFT.P2 > 1 and FFT._packed_wide_ok("2/3-rule")
+    _packed_vs_numpy(FFT, rng, shape)
+
+
+def test_packed_dns_pencil_wide_matches_serial(rng):
+    """Packed DNS step on a 2x2 pencil mesh (wide layout) == serial packed."""
+    from mpifft4py_tpu import pencil
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+
+    shape = (16, 16, 256)
+    L = np.array([TAU] * 3)
+    Fs = slab.R2C(np.array(shape), L, 1, "single")
+    Fw = pencil.R2C(np.array(shape), L, 4, "single", P1=2)
+    ss = NavierStokes3D(Fs, nu=0.01, dt=0.001, dealias="2/3-rule",
+                        spectral_layout="packed")
+    sw = NavierStokes3D(Fw, nu=0.01, dt=0.001, dealias="2/3-rule",
+                        spectral_layout="packed")
+    Us = ss.taylor_green()
+    Uw = sw.taylor_green()
+    assert abs(ss.energy_packed(Us) - sw.energy_packed(Uw)) < 1e-6
+    Us = ss.step(Us)
+    Uw = sw.step(Uw)
+    for a, b in zip(Us, Uw):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5

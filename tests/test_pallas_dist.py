@@ -155,3 +155,49 @@ def test_slab_dist_pallas_pipelined(rng):
     fu_d = np.asarray(dense.fftn(dense.shard_real(u)))
     fu_p = np.asarray(piped.fftn(piped.shard_real(u)))
     assert np.abs(fu_p - fu_d).max() <= 1e-4 * np.abs(fu_d).max()
+
+
+# -- 3/2-rule padded distributed MXU tier (VERDICT r2 next-step 4) -----------
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_slab_dist_pallas_padded(rng, P):
+    """Padded (3/2-rule) transforms through the planar MXU distributed
+    pipeline: fftn(3/2) ∘ ifftn(3/2) is identity on the spectrum, and the
+    padded physical field matches the XLA tier."""
+    import os
+
+    shape = (16, 16, 256)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), P, "single")
+    assert FFT._pallas_dist_padded_ok()
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+    fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.abs(fu2 - fu).max() / np.abs(fu).max() < 2e-6
+    os.environ["MPIFFT4PY_TPU_PALLAS"] = "0"
+    try:
+        Fx = slab.R2C(np.array(shape), np.array([TAU] * 3), P, "single")
+        upx = np.asarray(Fx.ifftn(Fx.shard_complex(fu), dealias="3/2-rule"))
+    finally:
+        del os.environ["MPIFFT4PY_TPU_PALLAS"]
+    assert np.abs(np.asarray(up) - upx).max() / np.abs(upx).max() < 2e-6
+
+
+@pytest.mark.parametrize("alignment", ["X", "Y"])
+def test_pencil_dist_planar_alignment_padded(rng, alignment):
+    """Pencil planar MXU tier now serves BOTH alignments (VERDICT r2
+    missing #5) and the padded variant; small grid keeps interpret fast."""
+    shape = (16, 16, 16)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 8, "single",
+                     P1=2, alignment=alignment)
+    assert FFT._pallas_dist_ok(None) and FFT._pallas_dist_ok("3/2-rule")
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+    up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+    fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+    assert np.abs(fu2 - fu).max() / np.abs(fu).max() < 2e-6

@@ -170,3 +170,85 @@ def test_pencil_y_wavenumbers(rng):
     assert np.array_equal(K[0][:, 0, 0], k)
     assert np.array_equal(K[1][0, :, 0], k)
     assert np.array_equal(K[2][0, 0, :], np.arange(FFT.Nfp))
+
+
+# -- pencil.C2C (VERDICT r2 next-step 3: the one blueprint hole) --------------
+
+
+def make_c2c(N, comm=8, P1=None, precision="double", **kw):
+    return pencil.C2C(np.array([N] * 3), np.array([TAU] * 3), comm, precision,
+                      P1=P1, **kw)
+
+
+@pytest.mark.parametrize("P1", [1, 2, 4, 8])
+@pytest.mark.parametrize("precision", ["single", "double"])
+def test_pencil_c2c_vs_numpy(rng, P1, precision):
+    N = 16
+    FFT = make_c2c(N, 8, P1=P1, precision=precision)
+    rtol = 1e-6 if precision == "single" else 1e-12
+    u = (rng.standard_normal((N, N, N))
+         + 1j * rng.standard_normal((N, N, N))).astype(FFT.complex)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.fftn(u.astype(np.complex128))
+    assert fu.shape == FFT.global_complex_shape() == (N, N, N)
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < rtol
+    ub = np.asarray(FFT.ifftn(fu))
+    assert np.abs(ub - u).max() / np.abs(u).max() < rtol
+
+
+@pytest.mark.parametrize("alignment", ["X", "Y"])
+@pytest.mark.parametrize("communication", ["Alltoall", "pipelined"])
+@pytest.mark.parametrize("dealias", [None, "2/3-rule", "3/2-rule"])
+def test_pencil_c2c_matrix(rng, alignment, communication, dealias):
+    """alignment x communication x dealias — full C2C option matrix."""
+    N = 16
+    FFT = make_c2c(N, 8, P1=2, alignment=alignment,
+                   communication=communication, pipeline_chunks=3)
+    u = (rng.standard_normal((N, N, N))
+         + 1j * rng.standard_normal((N, N, N))).astype(np.complex128)
+    ref = np.fft.fftn(u)
+    if dealias == "3/2-rule":
+        # padded round trip: exact on all N-grid modes
+        fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+        up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
+        assert up.shape == FFT.global_real_shape_padded()
+        fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
+        assert np.abs(fu2 - fu).max() / np.abs(fu).max() < 1e-12
+        return
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u), dealias=dealias))
+    if dealias == "2/3-rule":
+        filt = np.asarray(FFT.get_dealias_filter()).astype(bool)
+        ref = np.where(filt, ref, 0)
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 1e-12
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    uref = np.fft.ifftn(ref)
+    assert np.abs(ub - uref).max() / np.abs(uref).max() < 1e-12
+
+
+def test_pencil_c2c_matches_slab_c2c(rng):
+    """Same transform, different decomposition: pencil.C2C == slab.C2C."""
+    from mpifft4py_tpu import slab
+
+    N = 16
+    Fp = make_c2c(N, 8, P1=4)
+    Fs = slab.C2C(np.array([N] * 3), np.array([TAU] * 3), 8, "double")
+    u = (rng.standard_normal((N, N, N))
+         + 1j * rng.standard_normal((N, N, N))).astype(np.complex128)
+    a = np.asarray(Fp.fftn(Fp.shard_real(u)))
+    b = np.asarray(Fs.fftn(Fs.shard_real(u)))
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-12
+
+
+def test_pencil_c2c_divisibility_guard():
+    # N2 = 18 not divisible by P2 = 4 → loud error, not silent padding
+    with pytest.raises(Exception, match="N2|divis"):
+        pencil.C2C(np.array([16, 16, 18]), np.array([TAU] * 3), 8, "double",
+                   P1=2)
+
+
+def test_pencil_c2c_wavenumbers():
+    FFT = make_c2c(16, 8, P1=2)
+    K = np.asarray(FFT.get_local_wavenumbermesh())
+    # signed fft-layout wavenumbers on ALL THREE axes (Hermitian axis is full)
+    ref = np.meshgrid(*(np.fft.fftfreq(16, 1 / 16),) * 3, indexing="ij")
+    assert np.array_equal(K, np.stack(ref))
