@@ -224,29 +224,52 @@ def _round_up(x, m):
 
 
 @lru_cache(maxsize=None)
-def _rdft_cs(n: int, nfp: int, nf: int):
+def _rdft_cs(n: int, nfp: int, nf: int, double_last: bool = False,
+             scale: float = 1.0):
+    """r2c DFT matrix pair (n × nfp), columns >= nf zeroed.
+
+    ``double_last``/``scale`` fold the 3/2-rule z-truncation (Nyquist ×2 at
+    column nf−1) and the 1/padsize³ normalisation into the matmul — the
+    padded pipeline then skips two full elementwise HBM passes."""
     jk = np.outer(np.arange(n), np.arange(nfp))
     ang = -2.0 * np.pi * jk / n
-    c = np.cos(ang).astype(np.float32)
-    s = np.sin(ang).astype(np.float32)
+    c = np.cos(ang)
+    s = np.sin(ang)
     c[:, nf:] = 0.0
     s[:, nf:] = 0.0
-    return c, s
+    if double_last:
+        c[:, nf - 1] *= 2.0
+        s[:, nf - 1] *= 2.0
+    if scale != 1.0:
+        c *= scale
+        s *= scale
+    return c.astype(np.float32), s.astype(np.float32)
 
 
 @lru_cache(maxsize=None)
-def _irdft_cs(n: int, nfp: int, nf: int):
+def _irdft_cs(n: int, nfp: int, nf: int, nf_in: int | None = None,
+              scale: float = 1.0):
     # irfft(x)[j] = (1/n)[X0 + 2 Σ_{0<k<n/2} Re(Xk e^{+2πijk/n}) + X_{n/2}(−1)^j]
+    #
+    # ``nf_in`` < nf folds the 3/2-rule z zero-padding into the matrix: rows
+    # >= nf_in vanish and the input's last live row (the N-grid Nyquist,
+    # which pad_half_axis would halve) gets weight 1 instead of 2; ``scale``
+    # folds the padsize³ normalisation.
     kj = np.outer(np.arange(nfp), np.arange(n))
     ang = 2.0 * np.pi * kj / n
     w = np.zeros((nfp, 1), np.float64)
     w[0] = 1.0
-    w[1:nf - 1] = 2.0
-    w[nf - 1] = 1.0
-    c = (np.cos(ang) * w / n).astype(np.float32)
-    s = (np.sin(ang) * w / n).astype(np.float32)
-    c[nf:, :] = 0.0
-    s[nf:, :] = 0.0
+    w[1:min(nf - 1, nfp)] = 2.0
+    if nf - 1 < nfp:
+        w[nf - 1] = 1.0
+    cut = nf
+    if nf_in is not None:
+        w[nf_in - 1] = 1.0          # halved pad × weight 2 ⇒ net 1
+        cut = nf_in
+    c = (np.cos(ang) * w * (scale / n)).astype(np.float32)
+    s = (np.sin(ang) * w * (scale / n)).astype(np.float32)
+    c[cut:, :] = 0.0
+    s[cut:, :] = 0.0
     return c, s
 
 
@@ -268,17 +291,23 @@ def _pick_tr(R: int, n: int = 256, ncols: int = 256) -> int:
     return R if per_tr * R <= budget else 128
 
 
-def rfft_last_planar(x):
+def rfft_last_planar(x, nf=None, scale: float = 1.0):
     """real (…, n) -> planar (re, im) of shape (…, nfp) with nfp = ceil(nf/128)·128.
 
     Columns beyond nf are structural zeros (alignment padding — same
-    convention as the pencil decomposition's Nfp)."""
+    convention as the pencil decomposition's Nfp).  Passing ``nf`` < n//2+1
+    folds the 3/2-rule truncation (Nyquist-doubled at nf−1) into the matrix;
+    ``scale`` folds a normalisation factor — both save a full elementwise
+    HBM pass on the padded pipelines."""
     n = x.shape[-1]
-    nf = n // 2 + 1
+    full_nf = n // 2 + 1
+    trunc = nf is not None and nf < full_nf
+    if nf is None:
+        nf = full_nf
     nfp = _round_up(nf, 128)
     R = int(np.prod(x.shape[:-1], dtype=np.int64))
     xr = x.astype(jnp.float32).reshape(1, R, n)
-    cr, ci = _rdft_cs(n, nfp, nf)
+    cr, ci = _rdft_cs(n, nfp, nf, trunc, float(scale))
     tr = _pick_tr(R, n, nfp)
     fn = pl.pallas_call(
         _rfft_kernel,
@@ -305,13 +334,18 @@ def _irfft_kernel(xr_ref, xi_ref, cr_ref, ci_ref, o_ref):
                 - _dot(xi_ref[0], ci_ref[...]))
 
 
-def irfft_last_planar(xr, xi, n: int):
-    """planar (…, nfp) -> real (…, n); columns >= nf are ignored (must be pad)."""
+def irfft_last_planar(xr, xi, n: int, nf_in=None, scale: float = 1.0):
+    """planar (…, nfp) -> real (…, n); columns >= nf are ignored (must be pad).
+
+    ``nf_in`` < n//2+1 folds the 3/2-rule zero-pad into the matrix (input
+    carries only the N-grid modes; its Nyquist row gets the halved-pad
+    weight); ``scale`` folds the padsize³ normalisation."""
     nf = n // 2 + 1
     nfp = xr.shape[-1]
-    assert nfp >= nf and nfp % 128 == 0, (nfp, nf)
+    assert nfp >= (nf if nf_in is None else nf_in) and nfp % 128 == 0, \
+        (nfp, nf, nf_in)
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
-    cr, ci = _irdft_cs(n, nfp, nf)
+    cr, ci = _irdft_cs(n, nfp, nf, nf_in, float(scale))
     tr = _pick_tr(R, n, nfp)
     fn = pl.pallas_call(
         _irfft_kernel,

@@ -446,10 +446,10 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
         from .ops import pallas_fft3d as p3
         padded = dealias == "3/2-rule"
         N0, N1 = int(self.N[0]), int(self.N[1])
-        yr, yi = self._z_fwd_planar(u)
         if padded:
-            yr, yi = self._z_trunc_planar(yr, yi)
-            yr, yi = p3.fit_width(yr, yi, self.Nfp)
+            yr, yi = self._z_fwd_planar_padded(u)  # trunc + 1/padsize³ folded
+        else:
+            yr, yi = self._z_fwd_planar(u)
 
         def fftw(axis, n):
             # local FFT (+ padded truncation) as the stage work_fn
@@ -495,8 +495,7 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
                                    pipeline_axis=2)
         x = lax.complex(pair[0], pair[1])
         if padded:
-            x = self._fix_nyq(x)
-            return x * self.complex.type(1.0 / self.padsize ** 3)
+            return self._fix_nyq(x)  # 1/padsize³ folded into the z stage
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
         return x
@@ -866,18 +865,20 @@ class R2C(_Pencil3D):
         from .utils import spectral_dd as sdd
         return sdd.pad_half_axis_dd(x, 2, self.Mf)
 
-    # padded planar-tier z hooks
-    def _z_trunc_planar(self, yr, yi):
-        return (trunc_half_axis(yr, 2, self.Nf),
-                trunc_half_axis(yi, 2, self.Nf))
+    # padded planar-tier z hooks (trunc/pad + padsize³ folded into matrices)
+    def _z_fwd_planar_padded(self, u):
+        from .ops import pallas_fft3d as p3
+        yr, yi = p3.rfft_last_planar(u, nf=self.Nf,
+                                     scale=1.0 / self.padsize ** 3)
+        return p3.fit_width(yr, yi, self.Nfp)
 
     def _z_bwd_planar_padded(self, pr, pi):
         from .ops import pallas_fft3d as p3
-        WM = p3._round_up(self.Mf, 128)
-        pr = pad_half_axis(pr[..., :self.Nf], 2, WM, Nf=self.Nf)
-        pi = pad_half_axis(pi[..., :self.Nf], 2, WM, Nf=self.Nf)
-        u = p3.irfft_last_planar(pr, pi, int(self.M[2]))
-        return (u * self.float.type(self.padsize ** 3)).astype(self.float)
+        W = p3._round_up(self.Nf, 128)
+        pr, pi = p3.fit_width(pr[..., :self.Nf], pi[..., :self.Nf], W)
+        u = p3.irfft_last_planar(pr, pi, int(self.M[2]), nf_in=self.Nf,
+                                 scale=self.padsize ** 3)
+        return u.astype(self.float)
 
 
 class C2C(_Pencil3D):
@@ -967,10 +968,17 @@ class C2C(_Pencil3D):
         yr, yi = p3.fft_last_planar_c2c(pr, pi, inverse=True)
         return lax.complex(yr, yi)
 
-    # padded planar-tier z hooks (full complex axis)
+    # padded planar-tier z hooks (full complex axis; explicit trunc/scale —
+    # the fold-into-matrix trick is a half-axis/real-matmul property)
     def _z_trunc_planar(self, yr, yi):
         n2 = int(self.N[2])
         return trunc_full_axis(yr, 2, n2), trunc_full_axis(yi, 2, n2)
+
+    def _z_fwd_planar_padded(self, u):
+        yr, yi = self._z_fwd_planar(u)
+        yr, yi = self._z_trunc_planar(yr, yi)
+        s = np.float32(1.0 / self.padsize ** 3)
+        return yr * s, yi * s
 
     def _z_bwd_planar_padded(self, pr, pi):
         from .ops import pallas_fft3d as p3

@@ -530,6 +530,18 @@ class _Slab3D(_PackedDist1D, BaseFFT):
             x = trunc_half_axis(x, 2, self._lastf)
             x = self._sym_nyq(x)
             return x * self.complex.type(1.0 / self.padsize ** 3)
+        if dealias == "2/3-rule" and p3._use_packed(int(self.N[2])):
+            # mask in the PACKED planar domain: purify (drop the Nyquist
+            # rider), mask the float pair, emit a zero Nyquist column —
+            # measured 3.51 vs 4.31 ms for where() on the unpacked complex
+            # at 256³ (the interleaved-complex mask pass costs ~1 ms)
+            yr, yi = p3.rfft3d_packed(u)
+            yr, yi = p3.purify_plane0(yr, yi)
+            m = self._dealias_local()[..., :yr.shape[-1]]
+            yr = jnp.where(m, yr, 0)
+            yi = jnp.where(m, yi, 0)
+            z = jnp.zeros(yr.shape[:-1] + (1,), self.complex)
+            return jnp.concatenate([lax.complex(yr, yi), z], axis=-1)
         x = p3.rfft3d(u)
         if dealias == "2/3-rule":
             x = jnp.where(self._dealias_local(), x, 0)
@@ -609,11 +621,11 @@ class _Slab3D(_PackedDist1D, BaseFFT):
         from .ops import pallas_fft3d as p3
         N0, N1 = int(self.N[0]), int(self.N[1])
         Nf = self._lastf
-        W = p3._round_up(Nf, 128)
-        yr, yi = p3.rfft_last_planar(u)            # (Mp0, M1, ⌈Mf⌉₁₂₈)
-        yr = trunc_half_axis(yr, 2, Nf)            # z: Mf → Nf (Nyquist ×2)
-        yi = trunc_half_axis(yi, 2, Nf)
-        yr, yi = p3.fit_width(yr, yi, W)
+        # z r2c with the Mf→Nf truncation (Nyquist ×2) AND the 1/padsize³
+        # normalisation folded into the DFT matrix — two elementwise HBM
+        # passes saved vs trunc_half_axis + a final scale multiply
+        yr, yi = p3.rfft_last_planar(u, nf=Nf,
+                                     scale=1.0 / self.padsize ** 3)
         yr, yi = p3.fft_axis_planar(yr, yi, axis=1)      # y at M1
         yr = trunc_full_axis(yr, 1, N1)
         yi = trunc_full_axis(yi, 1, N1)
@@ -625,14 +637,12 @@ class _Slab3D(_PackedDist1D, BaseFFT):
         yr, yi = self._stage((yr, yi), self._dist_axis, 1, 0, work,
                              pipeline_axis=2)
         x = lax.complex(yr, yi)[..., :Nf]
-        x = self._sym_nyq(x)
-        return x * self.complex.type(1.0 / self.padsize ** 3)
+        return self._sym_nyq(x)
 
     def _bwd_dist_pallas_padded(self, fu):
         from .ops import pallas_fft3d as p3
         M0, M1, M2 = (int(m) for m in self.M)
         Nf = self._lastf
-        WM = p3._round_up(M2 // 2 + 1, 128)
         br = jnp.real(fu).astype(jnp.float32)
         bi = jnp.imag(fu).astype(jnp.float32)
 
@@ -646,10 +656,12 @@ class _Slab3D(_PackedDist1D, BaseFFT):
         yr = pad_full_axis(yr, 1, M1)
         yi = pad_full_axis(yi, 1, M1)
         yr, yi = p3.fft_axis_planar(yr, yi, axis=1, inverse=True)
-        yr = pad_half_axis(yr, 2, WM, Nf=Nf)       # z: Nf → Mf (Nyquist ÷2)
-        yi = pad_half_axis(yi, 2, WM, Nf=Nf)
-        u = p3.irfft_last_planar(yr, yi, M2)
-        return (u * self.float.type(self.padsize ** 3)).astype(self.float)
+        # z c2r with the Nf→Mf zero-pad (halved Nyquist row) and the
+        # padsize³ normalisation folded into the matrix
+        yr, yi = p3.fit_width(yr, yi, p3._round_up(Nf, 128))
+        u = p3.irfft_last_planar(yr, yi, M2, nf_in=Nf,
+                                 scale=self.padsize ** 3)
+        return u.astype(self.float)
 
     def _fwd_local(self, u, dealias):
         # The single transpose overlaps the axis-0 FFT when
