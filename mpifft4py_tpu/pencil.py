@@ -286,7 +286,10 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
         # choreography collapses to slab's single transpose over P1 — run the
         # packed-Hermitian MXU pipeline (_PackedDist1D, z-width exactly N2/2,
         # no Nfp lane padding, fused z+y eligible).  Output width Nf == Nfp.
-        return (self._is_r2c and self.P2 == 1 and dealias != "3/2-rule"
+        # X-aligned only: the collapsed choreography produces the slab
+        # spectral layout, which is what alignment="X" commits to.
+        return (self._is_r2c and self.P2 == 1 and self.alignment == "X"
+                and dealias != "3/2-rule"
                 and (int(self.N[2]) // 2) % 128 == 0
                 and self._kernel_gates_ok(dealias))
 

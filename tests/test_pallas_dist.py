@@ -201,3 +201,19 @@ def test_pencil_dist_planar_alignment_padded(rng, alignment):
     up = FFT.ifftn(FFT.shard_complex(fu), dealias="3/2-rule")
     fu2 = np.asarray(FFT.fftn(up, dealias="3/2-rule"))
     assert np.abs(fu2 - fu).max() / np.abs(fu).max() < 2e-6
+
+
+def test_pencil_y_p2_1_routes_planar(rng):
+    """alignment='Y' with a degenerate P2 must NOT take the slab-collapsed
+    packed pipeline (its output is the X/slab spectral layout) — regression
+    test for the round-3 gate reshuffle."""
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single",
+                     P1=4, alignment="Y")
+    assert FFT.P2 == 1 and not FFT._packed_dist_ok(None)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(FFT.fftn(FFT.shard_real(u)))
+    ref = np.fft.rfftn(u.astype(np.float64))
+    assert np.abs(fu[..., :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(FFT.ifftn(FFT.shard_complex(fu)))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
