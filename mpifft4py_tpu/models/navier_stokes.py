@@ -107,6 +107,95 @@ class SpectralSolver:
             self._KK_full = self.K / jnp.where(K2 == 0, 1, K2)
         return self._KK_full
 
+    # -- packed spectral layout plumbing (shared by the solver family) ---------
+    #
+    # ``spectral_layout="packed"`` keeps the state as the packed-Hermitian
+    # planar float32 pair (C, N0, N1, N2/2) ×2 — the MXU fast path without
+    # complex boundaries.  Subclasses implement ``rhs_packed(Ur, Ui, k0, k1,
+    # k2, m0, m1, m2)``; everything else (validation, wavenumber factors,
+    # integrator wiring, conversions, Parseval energy) lives here.
+
+    def _validate_packed(self):
+        FFT = self.FFT
+        ok = (self.dealias == "2/3-rule"
+              and hasattr(FFT, "_packed_iface_ok")
+              and FFT._packed_iface_ok(self.dealias))
+        if not ok:
+            raise ValueError(
+                "spectral_layout='packed' needs an fp32 R2C decomposition "
+                "with a single distributed transpose (slab at any P, or "
+                "pencil with P2==1 / the wide P2>1 layout), "
+                "(N2/2) % 128 == 0, dealias='2/3-rule', and the TPU Pallas "
+                "tier")
+
+    def _init_packed(self):
+        """Build the distributed-capable packed transforms (call from the
+        subclass __init__ once ``spectral_layout == 'packed'``).  The forward
+        purifies the plane-0 Nyquist rider and applies the 2/3-rule mask; the
+        state is always masked, so the inverse needs no mask of its own."""
+        self._fwd_pk = self.FFT.forward_packed_fn(self.dealias)
+        self._bwd_pk = self.FFT.backward_packed_fn()
+
+    def _packed_arrays(self):
+        """FACTORED wavenumber state for the packed RHS: 1-D scaled
+        wavenumbers (k0, k1, k2) and 1-D dealias masks (m0, m1, m2), packed
+        k2 = 0..h−1.  The (3, N0, N1, h) K / K² / K÷K² arrays are never
+        materialised — XLA broadcasts the 1-D factors in-register, which at
+        512³ saves ~2 GB of resident HBM and every RHS's re-reads of them
+        (part of what lets a 512³ DNS step fit on one 16 GB chip)."""
+        from ..utils.spectral import dealias_cutoffs
+        FFT = self.FFT
+        N = [int(n) for n in FFT.N]
+        h = N[2] // 2
+        s = (2 * np.pi / np.asarray(FFT.L)).astype(np.float32)
+        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32)
+        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32)
+        k2 = np.arange(h, dtype=np.float32)
+        c = dealias_cutoffs(FFT.N)
+        m0 = np.abs(k0) < c[0]
+        m1 = np.abs(k1) < c[1]
+        m2 = np.abs(k2) < c[2]
+        return (jnp.asarray(k0 * s[0]), jnp.asarray(k1 * s[1]),
+                jnp.asarray(k2 * s[2]), jnp.asarray(m0), jnp.asarray(m1),
+                jnp.asarray(m2))
+
+    def to_packed(self, U_hat):
+        """complex state (C,)+global_complex_shape() -> packed (Ur, Ui) pair.
+        The state must be Nyquist-free (guaranteed under 2/3-rule).  Pencil
+        alignment padding (width Nfp > Nf) is sliced off first — the packed
+        pair always has width Nf−1 = N2/2."""
+        from ..ops import pallas_fft3d as p3
+        nf = int(getattr(self.FFT, "Nf", U_hat.shape[-1]))
+        if U_hat.shape[-1] > nf:
+            U_hat = U_hat[..., :nf]
+        return p3.pack_spectrum(U_hat)
+
+    def from_packed(self, U):
+        from ..ops import pallas_fft3d as p3
+        return p3.unpack_spectrum(U[0], U[1])
+
+    def step_fn_packed(self):
+        """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1,
+        m2) with factored 1-D wavenumbers, through ``integrator``."""
+        def step(U, *kargs):
+            rhs1 = lambda V: self.rhs_packed(V[0], V[1], *kargs)
+            return self._advance(rhs1, U)
+        return step
+
+    def energy_packed(self, U) -> float:
+        """Parseval total energy 0.5<Σ_c |u_c|²> of a packed state."""
+        def build():
+            h = int(self.FFT.N[2]) // 2
+            w = np.full((h,), 2.0, np.float32)
+            w[0] = 1.0
+            ntot = float(np.prod([int(n) for n in self.FFT.N]))
+
+            def ke(Ur, Ui):
+                e = jnp.sum((Ur * Ur + Ui * Ui) * jnp.asarray(w), axis=None)
+                return 0.5 * e / (ntot * ntot)
+            return ke
+        return float(self._plan("energy_packed", build)(U[0], U[1]))
+
     def _factored_k(self):
         """1-D scaled wavenumbers matching global_complex_shape (replicated;
         GSPMD broadcasts them against the sharded spectral state)."""
@@ -123,6 +212,10 @@ class SpectralSolver:
         return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
 
     def _step_args(self):
+        if self.spectral_layout == "packed":
+            if not hasattr(self, "_pk_args"):
+                self._pk_args = self._packed_arrays()
+            return self._pk_args
         if not hasattr(self, "_k_args"):
             self._k_args = self._factored_k()
         return self._k_args
@@ -158,6 +251,10 @@ class SpectralSolver:
         Unew = tm(lambda u, a, b: u + dt * (1.5 * a - 0.5 * b), Un, f, fprev)
         return (Unew, f)
 
+    def _step_builder(self):
+        return (self.step_fn_packed() if self.spectral_layout == "packed"
+                else self.step_fn())
+
     def step_fn(self):
         """The jittable step: (state, k0, k1, k2) -> state (for AB2 the state
         is the ``ab2_state`` tuple on both sides).
@@ -172,15 +269,17 @@ class SpectralSolver:
             return self._advance(lambda V: self.rhs(V, k0, k1, k2), state)
         return step
 
-    def _step_builder(self):
-        return self.step_fn()
-
     def ab2_state(self, U):
         """Wrap a spectral state for integrator='AB2': (U, f_prev) with
         f_prev = f(U), so the first step reduces to Euler."""
         if self.integrator != "AB2":
             raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        f = self._plan("ab2_rhs", lambda: self.rhs)(U, *self._step_args())
+        if self.spectral_layout == "packed":
+            f = self._plan("ab2_rhs_packed",
+                           lambda: lambda V, *a: self.rhs_packed(
+                               V[0], V[1], *a))(U, *self._step_args())
+        else:
+            f = self._plan("ab2_rhs", lambda: self.rhs)(U, *self._step_args())
         return (U, f)
 
     def step(self, state):
@@ -247,12 +346,7 @@ class NavierStokes3D(SpectralSolver):
         self._init_solver(FFT, dt, dealias, integrator)
         self.spectral_layout = spectral_layout
         if spectral_layout == "packed":
-            # distributed-capable packed transforms (slab any P; pencil
-            # P2==1): the forward purifies the plane-0 Nyquist rider and
-            # applies the 2/3-rule mask; the state is always masked, so the
-            # inverse needs no mask of its own.
-            self._fwd_pk = FFT.forward_packed_fn(dealias)
-            self._bwd_pk = FFT.backward_packed_fn()
+            self._init_packed()
 
     # -- packed spectral layout (MXU fast path without complex boundaries) -----
     #
@@ -265,56 +359,6 @@ class NavierStokes3D(SpectralSolver):
     # through the complex boundary (see BENCH.md).  Distributed (P>1): the
     # pair crosses the single transpose via the _PackedDist1D pipeline — the
     # fast layout survives slab (and pencil-P2==1) sharding.
-
-    def _validate_packed(self):
-        FFT = self.FFT
-        ok = (self.dealias == "2/3-rule"
-              and hasattr(FFT, "_packed_iface_ok")
-              and FFT._packed_iface_ok(self.dealias))
-        if not ok:
-            raise ValueError(
-                "spectral_layout='packed' needs an fp32 R2C decomposition "
-                "with a single distributed transpose (slab at any P, or "
-                "pencil with P2==1), (N2/2) % 128 == 0, dealias='2/3-rule', "
-                "and the TPU Pallas tier")
-
-    def _packed_arrays(self):
-        """FACTORED wavenumber state for the packed RHS: 1-D scaled
-        wavenumbers (k0, k1, k2) and 1-D dealias masks (m0, m1, m2), packed
-        k2 = 0..h−1.  The (3, N0, N1, h) K / K² / K/K² arrays are never
-        materialised — XLA broadcasts the 1-D factors in-register, which at
-        512³ saves ~2 GB of resident HBM and every RHS's re-reads of them
-        (part of what lets a 512³ DNS step fit on one 16 GB chip)."""
-        from ..utils.spectral import dealias_cutoffs
-        FFT = self.FFT
-        N = [int(n) for n in FFT.N]
-        h = N[2] // 2
-        s = (2 * np.pi / np.asarray(FFT.L)).astype(np.float32)
-        k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32)
-        k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32)
-        k2 = np.arange(h, dtype=np.float32)
-        c = dealias_cutoffs(FFT.N)
-        m0 = np.abs(k0) < c[0]
-        m1 = np.abs(k1) < c[1]
-        m2 = np.abs(k2) < c[2]
-        return (jnp.asarray(k0 * s[0]), jnp.asarray(k1 * s[1]),
-                jnp.asarray(k2 * s[2]), jnp.asarray(m0), jnp.asarray(m1),
-                jnp.asarray(m2))
-
-    def to_packed(self, U_hat):
-        """complex state (3,)+global_complex_shape() -> packed (Ur, Ui) pair.
-        The state must be Nyquist-free (guaranteed under 2/3-rule).  Pencil
-        alignment padding (width Nfp > Nf) is sliced off first — the packed
-        pair always has width Nf−1 = N2/2."""
-        from ..ops import pallas_fft3d as p3
-        nf = int(getattr(self.FFT, "Nf", U_hat.shape[-1]))
-        if U_hat.shape[-1] > nf:
-            U_hat = U_hat[..., :nf]
-        return p3.pack_spectrum(U_hat)
-
-    def from_packed(self, U):
-        from ..ops import pallas_fft3d as p3
-        return p3.unpack_spectrum(U[0], U[1])
 
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
         del m0, m1, m2  # the mask lives inside the packed forward transform
@@ -359,28 +403,6 @@ class NavierStokes3D(SpectralSolver):
             dUr = dUr + (alpha * band) * Ur
             dUi = dUi + (alpha * band) * Ui
         return dUr, dUi
-
-    def step_fn_packed(self):
-        """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1, m2)
-        with factored 1-D wavenumbers, through whichever ``integrator`` was
-        selected."""
-        def step(U, *kargs):
-            rhs1 = lambda V: self.rhs_packed(V[0], V[1], *kargs)
-            return self._advance(rhs1, U)
-        return step
-
-    def energy_packed(self, U) -> float:
-        def build():
-            h = int(self.FFT.N[2]) // 2
-            w = np.full((h,), 2.0, np.float32)
-            w[0] = 1.0
-            ntot = float(np.prod([int(n) for n in self.FFT.N]))
-
-            def ke(Ur, Ui):
-                e = jnp.sum((Ur * Ur + Ui * Ui) * jnp.asarray(w), axis=None)
-                return 0.5 * e / (ntot * ntot)
-            return ke
-        return float(self._plan("energy_packed", build)(U[0], U[1]))
 
     # -- initial conditions ---------------------------------------------------
 
@@ -452,29 +474,6 @@ class NavierStokes3D(SpectralSolver):
             alpha = jnp.where(Eb > 0, self.forcing_rate / (2.0 * Eb), 0.0)
             dU = dU + (alpha * band) * U_hat
         return dU
-
-    # -- packed-layout overrides of the SpectralSolver hooks -------------------
-
-    def ab2_state(self, U):
-        if self.spectral_layout != "packed":
-            return super().ab2_state(U)
-        if self.integrator != "AB2":
-            raise ValueError("ab2_state is only meaningful with integrator='AB2'")
-        f = self._plan("ab2_rhs_packed",
-                       lambda: lambda V, *a: self.rhs_packed(V[0], V[1], *a))(
-            U, *self._step_args())
-        return (U, f)
-
-    def _step_args(self):
-        if self.spectral_layout == "packed":
-            if not hasattr(self, "_pk_args"):
-                self._pk_args = self._packed_arrays()
-            return self._pk_args
-        return super()._step_args()
-
-    def _step_builder(self):
-        return (self.step_fn_packed() if self.spectral_layout == "packed"
-                else self.step_fn())
 
     # -- diagnostics --------------------------------------------------------------
 

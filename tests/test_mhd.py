@@ -91,3 +91,37 @@ def test_mhd_zero_field_reduces_to_ns():
     UB1 = mh.step(UB)
     assert np.allclose(np.asarray(UB1)[:3], np.asarray(U1), atol=1e-12)
     assert np.abs(np.asarray(UB1)[3:]).max() == 0.0
+
+
+def test_mhd_packed_matches_complex(rng):
+    """One MHD RK4 step in the packed layout == the complex-layout step
+    (round 3: the packed fast path extends to the whole solver family)."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+
+    os.environ["MPIFFT4PY_TPU_PALLAS_DIST"] = "force"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            shape = (16, 16, 256)
+            FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 1, "single")
+            kw = dict(nu=0.01, eta=0.02, dt=0.001, dealias="2/3-rule")
+            sc = MHD3D(FFT, **kw)
+            sp = MHD3D(FFT, spectral_layout="packed", **kw)
+            Uc = sc.taylor_green_mhd()
+            Up = sp.taylor_green_mhd()
+            ec, eb_c = sc.energies(Uc)
+            ep, eb_p = sp.energies(Up)
+            assert abs(ec - ep) < 1e-6 and abs(eb_c - eb_p) < 1e-6
+            Uc = sc.step(Uc)
+            Up = sp.step(Up)
+            got = np.asarray(sp.from_packed(Up))
+            ref = np.asarray(Uc)[..., :got.shape[-1]]
+            assert np.abs(got - ref).max() < 1e-5
+            # divergence: same fp32 Leray-projection roundoff class as the
+            # complex layout (absolute size scales with the unnormalised
+            # spectrum); induction stays exactly solenoidal
+            du, db = sp.divergences(Up)
+            duc, dbc = sc.divergences(Uc)
+            assert du < max(10 * duc, 1e-6) and db < max(10 * dbc, 1e-6)
+    finally:
+        os.environ.pop("MPIFFT4PY_TPU_PALLAS_DIST", None)
