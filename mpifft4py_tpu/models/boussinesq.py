@@ -34,11 +34,22 @@ class Boussinesq3D(SpectralSolver):
     """
 
     def __init__(self, FFT, nu: float, kappa: float, dt: float, Ri: float = 1.0,
-                 dealias: Optional[str] = "2/3-rule", integrator: str = "RK4"):
+                 dealias: Optional[str] = "2/3-rule", integrator: str = "RK4",
+                 spectral_layout: str = "complex"):
         self.nu = float(nu)
         self.kappa = float(kappa)
         self.Ri = float(Ri)
+        self.dealias = dealias
+        if spectral_layout not in ("complex", "packed"):
+            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
+                             f"got {spectral_layout!r}")
+        self.FFT = FFT
+        if spectral_layout == "packed":
+            self._validate_packed()
         self._init_solver(FFT, dt, dealias, integrator)
+        self.spectral_layout = spectral_layout
+        if spectral_layout == "packed":
+            self._init_packed()
 
     # -- initial conditions -------------------------------------------------------
 
@@ -53,8 +64,11 @@ class Boussinesq3D(SpectralSolver):
                 jnp.zeros_like(X[0]),
             ])
             th = theta0 * jnp.sin(X[2])
-            return jnp.stack([self._fwd_plain(u[i]) for i in range(3)]
-                             + [self._fwd_plain(th)])
+            S = jnp.stack([self._fwd_plain(u[i]) for i in range(3)]
+                          + [self._fwd_plain(th)])
+            if self.spectral_layout == "packed":
+                return self.to_packed(S)
+            return S
         return jax.jit(init)(X)
 
     def rest_state(self, theta0: float = 0.1):
@@ -65,7 +79,10 @@ class Boussinesq3D(SpectralSolver):
         def init(X):
             z = jnp.zeros_like(X[0])
             th = theta0 * jnp.sin(X[2])
-            return jnp.stack([self._fwd_plain(z)] * 3 + [self._fwd_plain(th)])
+            S = jnp.stack([self._fwd_plain(z)] * 3 + [self._fwd_plain(th)])
+            if self.spectral_layout == "packed":
+                return self.to_packed(S)
+            return S
         return jax.jit(init)(X)
 
     # -- dynamics ----------------------------------------------------------------
@@ -99,12 +116,69 @@ class Boussinesq3D(SpectralSolver):
             - self.kappa * ksq * T_hat
         return jnp.concatenate([dU, dT[None]])
 
+    def rhs_packed(self, Sr, Si, k0, k1, k2, m0, m1, m2):
+        """Packed-pair Boussinesq RHS (state (4, N0, N1, h) ×2: û + θ̂)."""
+        del m0, m1, m2
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
+
+        def kx(V):
+            return jnp.stack([K1 * V[2] - K2v * V[1],
+                              K2v * V[0] - K0 * V[2],
+                              K0 * V[1] - K1 * V[0]])
+
+        def kdot(V):
+            return K0 * V[0] + K1 * V[1] + K2v * V[2]
+
+        Ur, Ui = Sr[:3], Si[:3]
+        Tr, Ti = Sr[3], Si[3]
+        U = self._bwd_pk((Ur, Ui))
+        th = self._bwd_pk((Tr, Ti))
+        W = self._bwd_pk((-kx(Ui), kx(Ur)))
+        F = jnp.stack([U[1] * W[2] - U[2] * W[1],
+                       U[2] * W[0] - U[0] * W[2],
+                       U[0] * W[1] - U[1] * W[0]])
+        Fr, Fi = self._fwd_pk(F)
+        # buoyancy Ri·θ̂ ê_z joins the force BEFORE projection
+        Fr = Fr.at[2].add(self.Ri * Tr)
+        Fi = Fi.at[2].add(self.Ri * Ti)
+        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+        dr = kdot(Fr) * inv
+        di = kdot(Fi) * inv
+        dUr = (Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+               - self.nu * ksq[None] * Ur)
+        dUi = (Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
+               - self.nu * ksq[None] * Ui)
+        # conservative flux: dθ̂ = −i k·Ĝ − κ k² θ̂, Ĝ = F(uθ)
+        Gr, Gi = self._fwd_pk(U * th[None])
+        dTr = kdot(Gi) - self.kappa * ksq * Tr
+        dTi = -kdot(Gr) - self.kappa * ksq * Ti
+        return (jnp.concatenate([dUr, dTr[None]]),
+                jnp.concatenate([dUi, dTi[None]]))
+
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics ---------------------------------------------------------------
 
     def energies(self, S_hat):
         """(kinetic, scalar-variance) means: 0.5<|u|²>, 0.5<θ²>."""
+        if self.spectral_layout == "packed":
+            def build():
+                h = int(self.FFT.N[2]) // 2
+                w = np.full((h,), 2.0, np.float32)
+                w[0] = 1.0
+                ntot = float(np.prod([int(n) for n in self.FFT.N]))
+
+                def ke(Sr, Si):
+                    e = jnp.sum((Sr * Sr + Si * Si) * jnp.asarray(w),
+                                axis=(1, 2, 3)) * (0.5 / (ntot * ntot))
+                    return jnp.sum(e[:3]), e[3]
+                return ke
+            eu, et = self._plan("energies_packed", build)(S_hat[0], S_hat[1])
+            return float(eu), float(et)
+
         def build():
             def ke(S_hat):
                 U = jnp.stack([self._bwd(S_hat[i]) for i in range(3)])

@@ -211,14 +211,19 @@ class SpectralSolver:
         k2 = np.arange(nf, dtype=ft) * s[2]
         return jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2)
 
+    def _complex_k_args(self):
+        """(k0, k1, k2) for complex-layout diagnostics — valid regardless of
+        the solver's own spectral_layout."""
+        if not hasattr(self, "_k_args"):
+            self._k_args = self._factored_k()
+        return self._k_args
+
     def _step_args(self):
         if self.spectral_layout == "packed":
             if not hasattr(self, "_pk_args"):
                 self._pk_args = self._packed_arrays()
             return self._pk_args
-        if not hasattr(self, "_k_args"):
-            self._k_args = self._factored_k()
-        return self._k_args
+        return self._complex_k_args()
 
     # -- time integrators (pytree-generic) ------------------------------------
 

@@ -29,9 +29,19 @@ class VorticityVelocity3D(SpectralSolver):
     """Vorticity-form pseudo-spectral solver over a slab/pencil R2C."""
 
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
-                 integrator: str = "RK4"):
+                 integrator: str = "RK4", spectral_layout: str = "complex"):
         self.nu = float(nu)
+        self.dealias = dealias
+        if spectral_layout not in ("complex", "packed"):
+            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
+                             f"got {spectral_layout!r}")
+        self.FFT = FFT
+        if spectral_layout == "packed":
+            self._validate_packed()
         self._init_solver(FFT, dt, dealias, integrator)
+        self.spectral_layout = spectral_layout
+        if spectral_layout == "packed":
+            self._init_packed()
 
     # -- state construction -------------------------------------------------------
 
@@ -46,7 +56,8 @@ class VorticityVelocity3D(SpectralSolver):
                                   1j * (K2v * U_hat[0] - K0 * U_hat[2]),
                                   1j * (K0 * U_hat[1] - K1 * U_hat[0])])
             return f
-        return self._plan("from_velocity", build)(U_hat, *self._step_args())
+        return self._plan("from_velocity", build)(U_hat,
+                                                  *self._complex_k_args())
 
     def velocity(self, W_hat):
         """Biot–Savart: û = i (k × ω̂)/|k|² (spectral)."""
@@ -61,11 +72,14 @@ class VorticityVelocity3D(SpectralSolver):
                                   1j * (K2v * W_hat[0] - K0 * W_hat[2]) * inv,
                                   1j * (K0 * W_hat[1] - K1 * W_hat[0]) * inv])
             return f
-        return self._plan("velocity", build)(W_hat, *self._step_args())
+        return self._plan("velocity", build)(W_hat, *self._complex_k_args())
 
     def taylor_green(self):
         ns = NavierStokes3D(self.FFT, nu=self.nu, dt=self.dt, dealias=self.dealias)
-        return self.from_velocity(ns.taylor_green())
+        W = self.from_velocity(ns.taylor_green())
+        if self.spectral_layout == "packed":
+            return self.to_packed(W)
+        return W
 
     # -- dynamics ----------------------------------------------------------------
 
@@ -92,12 +106,63 @@ class VorticityVelocity3D(SpectralSolver):
                           1j * (K0 * F_hat[1] - K1 * F_hat[0])]) \
             - self.nu * ksq[None] * W_hat
 
+    def rhs_packed(self, Wr, Wi, k0, k1, k2, m0, m1, m2):
+        """Packed-pair vorticity-form RHS: Biot–Savart recovery and the curl
+        of the nonlinear term as pure float-pair algebra."""
+        del m0, m1, m2
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
+        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+
+        def kx(V):
+            return jnp.stack([K1 * V[2] - K2v * V[1],
+                              K2v * V[0] - K0 * V[2],
+                              K0 * V[1] - K1 * V[0]])
+
+        # û = i(k×ω̂)/k² → (re, im) = (−K×Wi, K×Wr)·inv
+        U = self._bwd_pk((-kx(Wi) * inv, kx(Wr) * inv))
+        W = self._bwd_pk((Wr, Wi))
+        F = jnp.stack([U[1] * W[2] - U[2] * W[1],
+                       U[2] * W[0] - U[0] * W[2],
+                       U[0] * W[1] - U[1] * W[0]])
+        Fr, Fi = self._fwd_pk(F)                 # purify + mask inside
+        # dω̂ = i k × F̂ − ν k² ω̂ → (re, im) = (−K×Fi, K×Fr) − ν k² (Wr, Wi)
+        return (-kx(Fi) - self.nu * ksq[None] * Wr,
+                kx(Fr) - self.nu * ksq[None] * Wi)
+
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics ---------------------------------------------------------------
 
     def energy(self, W_hat) -> float:
         """Mean kinetic energy of the Biot–Savart velocity."""
+        if self.spectral_layout == "packed":
+            def build():
+                h = int(self.FFT.N[2]) // 2
+                w = np.full((h,), 2.0, np.float32)
+                w[0] = 1.0
+                ntot = float(np.prod([int(n) for n in self.FFT.N]))
+
+                def ke(Wr, Wi, k0, k1, k2, *rest):
+                    K0 = k0[:, None, None]
+                    K1 = k1[None, :, None]
+                    K2v = k2[None, None, :]
+                    ksq = K0 * K0 + K1 * K1 + K2v * K2v
+                    inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+
+                    def kx(V):
+                        return jnp.stack([K1 * V[2] - K2v * V[1],
+                                          K2v * V[0] - K0 * V[2],
+                                          K0 * V[1] - K1 * V[0]])
+                    Uvr, Uvi = -kx(Wi) * inv, kx(Wr) * inv
+                    e = jnp.sum((Uvr * Uvr + Uvi * Uvi) * jnp.asarray(w))
+                    return 0.5 * e / (ntot * ntot)
+                return ke
+            return float(self._plan("energy_packed_vv", build)(
+                W_hat[0], W_hat[1], *self._step_args()))
+
         def build():
             def ke(W_hat, k0, k1, k2):
                 K0 = k0[:, None, None]
@@ -115,6 +180,9 @@ class VorticityVelocity3D(SpectralSolver):
         return float(self._plan("energy", build)(W_hat, *self._step_args()))
 
     def enstrophy(self, W_hat) -> float:
+        if self.spectral_layout == "packed":
+            return self.energy_packed(W_hat)  # Parseval of ω̂ itself
+
         def build():
             def en(W_hat):
                 W = jnp.stack([self._bwd(W_hat[i]) for i in range(3)])

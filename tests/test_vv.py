@@ -70,3 +70,32 @@ def test_vv_integrators():
     assert np.allclose(np.asarray(W1), np.asarray(W2), atol=1e-9)
     W3 = rk4.run(rk4.taylor_green(), 2)
     assert np.isfinite(rk4.energy(W3))
+
+
+def test_vv_packed_matches_complex(rng):
+    """One VV RK4 step in the packed layout == the complex-layout step."""
+    import os
+    from jax.experimental.pallas import tpu as pltpu
+
+    os.environ["MPIFFT4PY_TPU_PALLAS_DIST"] = "force"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            shape = (16, 16, 256)
+            FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 1, "single")
+            kw = dict(nu=0.01, dt=0.001, dealias="2/3-rule")
+            sc = VorticityVelocity3D(FFT, **kw)
+            sp = VorticityVelocity3D(FFT, spectral_layout="packed", **kw)
+            Wc = sc.taylor_green()
+            Wp = sp.taylor_green()
+            assert abs(sc.energy(Wc) - sp.energy(Wp)) < 1e-6
+            assert abs(sc.enstrophy(Wc) - sp.enstrophy(Wp)) < 1e-5
+            Wc = sc.step(Wc)
+            Wp = sp.step(Wp)
+            got = np.asarray(sp.from_packed(Wp))
+            ref = np.asarray(Wc)[..., :got.shape[-1]]
+            # relative: ω̂ magnitudes ~N³ (16384 here) and the two layouts run
+            # different kernel tiers off-TPU (XLA vs interpret Pallas)
+            assert np.abs(got - ref).max() < 1e-5 * np.abs(ref).max()
+            assert abs(sc.energy(Wc) - sp.energy(Wp)) < 1e-6
+    finally:
+        os.environ.pop("MPIFFT4PY_TPU_PALLAS_DIST", None)
