@@ -496,5 +496,8 @@ class NavierStokes3D(SpectralSolver):
         return float(self._plan("energy", build)(U_hat))
 
     def rhs_with_state(self, U_hat):
-        """Convenience: rhs using the stored wavenumber vectors (eager use)."""
-        return self.rhs(U_hat, *self._step_args())
+        """Convenience: rhs using the stored wavenumber vectors (eager use).
+        Dispatches on the state layout (packed pair vs complex stack)."""
+        if self.spectral_layout == "packed":
+            return self.rhs_packed(U_hat[0], U_hat[1], *self._step_args())
+        return self.rhs(U_hat, *self._complex_k_args())
