@@ -39,17 +39,7 @@ class Boussinesq3D(SpectralSolver):
         self.nu = float(nu)
         self.kappa = float(kappa)
         self.Ri = float(Ri)
-        self.dealias = dealias
-        if spectral_layout not in ("complex", "packed"):
-            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
-                             f"got {spectral_layout!r}")
-        self.FFT = FFT
-        if spectral_layout == "packed":
-            self._validate_packed()
-        self._init_solver(FFT, dt, dealias, integrator)
-        self.spectral_layout = spectral_layout
-        if spectral_layout == "packed":
-            self._init_packed()
+        self._init_solver(FFT, dt, dealias, integrator, spectral_layout)
 
     # -- initial conditions -------------------------------------------------------
 
@@ -166,14 +156,10 @@ class Boussinesq3D(SpectralSolver):
         """(kinetic, scalar-variance) means: 0.5<|u|²>, 0.5<θ²>."""
         if self.spectral_layout == "packed":
             def build():
-                h = int(self.FFT.N[2]) // 2
-                w = np.full((h,), 2.0, np.float32)
-                w[0] = 1.0
-                ntot = float(np.prod([int(n) for n in self.FFT.N]))
+                comp = self._parseval_component_energies()
 
                 def ke(Sr, Si):
-                    e = jnp.sum((Sr * Sr + Si * Si) * jnp.asarray(w),
-                                axis=(1, 2, 3)) * (0.5 / (ntot * ntot))
+                    e = comp(Sr, Si)
                     return jnp.sum(e[:3]), e[3]
                 return ke
             eu, et = self._plan("energies_packed", build)(S_hat[0], S_hat[1])

@@ -45,17 +45,7 @@ class MHD3D(SpectralSolver):
                  spectral_layout: str = "complex"):
         self.nu = float(nu)
         self.eta = float(eta)
-        self.dealias = dealias  # _validate_packed reads it pre-_init_solver
-        if spectral_layout not in ("complex", "packed"):
-            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
-                             f"got {spectral_layout!r}")
-        self.FFT = FFT
-        if spectral_layout == "packed":
-            self._validate_packed()
-        self._init_solver(FFT, dt, dealias, integrator)
-        self.spectral_layout = spectral_layout
-        if spectral_layout == "packed":
-            self._init_packed()
+        self._init_solver(FFT, dt, dealias, integrator, spectral_layout)
 
     # -- initial conditions -----------------------------------------------------
 
@@ -184,15 +174,10 @@ class MHD3D(SpectralSolver):
     def energies_packed(self, UB):
         """(kinetic, magnetic) Parseval energies of the packed state."""
         def build():
-            h = int(self.FFT.N[2]) // 2
-            w = np.full((h,), 2.0, np.float32)
-            w[0] = 1.0
-            ntot = float(np.prod([int(n) for n in self.FFT.N]))
+            comp = self._parseval_component_energies()
 
             def ke(UBr, UBi):
-                e = jnp.sum((UBr * UBr + UBi * UBi) * jnp.asarray(w),
-                            axis=(1, 2, 3))
-                e = 0.5 * e / (ntot * ntot)
+                e = comp(UBr, UBi)
                 return jnp.sum(e[:3]), jnp.sum(e[3:])
             return ke
         eu, eb = self._plan("energies_packed", build)(UB[0], UB[1])

@@ -56,7 +56,8 @@ class SpectralSolver:
     plans, AB2 carry, and the scan-based ``run``.  Subclasses implement
     ``rhs(state, k0, k1, k2)`` and set physics parameters."""
 
-    def _init_solver(self, FFT, dt, dealias, integrator):
+    def _init_solver(self, FFT, dt, dealias, integrator,
+                     spectral_layout: str = "complex"):
         self.FFT = FFT
         self.dt = float(dt)
         self.dealias = dealias
@@ -64,7 +65,12 @@ class SpectralSolver:
             raise ValueError(f"integrator must be one of {INTEGRATORS}, "
                              f"got {integrator!r}")
         self.integrator = integrator
-        self.spectral_layout = "complex"
+        if spectral_layout not in ("complex", "packed"):
+            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
+                             f"got {spectral_layout!r}")
+        if spectral_layout == "packed":
+            self._validate_packed()
+        self.spectral_layout = spectral_layout
         self._fwd = FFT.forward_fn(dealias=dealias)
         self._fwd_plain = FFT.forward_fn()
         self._bwd = FFT.backward_fn()
@@ -72,6 +78,8 @@ class SpectralSolver:
         # grid; 2/3-rule works on the N grid with the mask in the forward.
         self._bwd_nl = (FFT.backward_fn(dealias) if dealias == "3/2-rule"
                         else self._bwd)
+        if spectral_layout == "packed":
+            self._init_packed()
         self._step = None
         self._solver_plans = {}
 
@@ -182,17 +190,29 @@ class SpectralSolver:
             return self._advance(rhs1, U)
         return step
 
+    def _parseval_component_energies(self):
+        """Builder piece shared by the family's packed diagnostics: a fn
+        (Sr, Si) -> per-component Parseval energies 0.5·Σ w·|ŝ_c|²/ntot²
+        with the Hermitian half-spectrum weights (column k2=0 weight 1,
+        interior weight 2 — no Nyquist column exists in purified states)."""
+        h = int(self.FFT.N[2]) // 2
+        w = np.full((h,), 2.0, np.float32)
+        w[0] = 1.0
+        ntot = float(np.prod([int(n) for n in self.FFT.N]))
+
+        def comp_e(Sr, Si):
+            e = jnp.sum((Sr * Sr + Si * Si) * jnp.asarray(w),
+                        axis=(-3, -2, -1))
+            return 0.5 * e / (ntot * ntot)
+        return comp_e
+
     def energy_packed(self, U) -> float:
         """Parseval total energy 0.5<Σ_c |u_c|²> of a packed state."""
         def build():
-            h = int(self.FFT.N[2]) // 2
-            w = np.full((h,), 2.0, np.float32)
-            w[0] = 1.0
-            ntot = float(np.prod([int(n) for n in self.FFT.N]))
+            comp = self._parseval_component_energies()
 
             def ke(Ur, Ui):
-                e = jnp.sum((Ur * Ur + Ui * Ui) * jnp.asarray(w), axis=None)
-                return 0.5 * e / (ntot * ntot)
+                return jnp.sum(comp(Ur, Ui))
             return ke
         return float(self._plan("energy_packed", build)(U[0], U[1]))
 
@@ -338,20 +358,10 @@ class NavierStokes3D(SpectralSolver):
         f̂ = ε·û/(2·E_band) on modes k_lo ≤ |k| < k_hi — injects energy at
         exactly ε per unit time regardless of the band's current energy."""
         self.nu = float(nu)
-        self.dealias = dealias  # _validate_packed reads it before _init_solver
-        if spectral_layout not in ("complex", "packed"):
-            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
-                             f"got {spectral_layout!r}")
         self.forcing_band = (None if forcing_band is None
                              else (float(forcing_band[0]), float(forcing_band[1])))
         self.forcing_rate = float(forcing_rate)
-        self.FFT = FFT
-        if spectral_layout == "packed":
-            self._validate_packed()
-        self._init_solver(FFT, dt, dealias, integrator)
-        self.spectral_layout = spectral_layout
-        if spectral_layout == "packed":
-            self._init_packed()
+        self._init_solver(FFT, dt, dealias, integrator, spectral_layout)
 
     # -- packed spectral layout (MXU fast path without complex boundaries) -----
     #

@@ -31,17 +31,7 @@ class VorticityVelocity3D(SpectralSolver):
     def __init__(self, FFT, nu: float, dt: float, dealias: Optional[str] = "2/3-rule",
                  integrator: str = "RK4", spectral_layout: str = "complex"):
         self.nu = float(nu)
-        self.dealias = dealias
-        if spectral_layout not in ("complex", "packed"):
-            raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
-                             f"got {spectral_layout!r}")
-        self.FFT = FFT
-        if spectral_layout == "packed":
-            self._validate_packed()
-        self._init_solver(FFT, dt, dealias, integrator)
-        self.spectral_layout = spectral_layout
-        if spectral_layout == "packed":
-            self._init_packed()
+        self._init_solver(FFT, dt, dealias, integrator, spectral_layout)
 
     # -- state construction -------------------------------------------------------
 
@@ -140,10 +130,7 @@ class VorticityVelocity3D(SpectralSolver):
         """Mean kinetic energy of the Biot–Savart velocity."""
         if self.spectral_layout == "packed":
             def build():
-                h = int(self.FFT.N[2]) // 2
-                w = np.full((h,), 2.0, np.float32)
-                w[0] = 1.0
-                ntot = float(np.prod([int(n) for n in self.FFT.N]))
+                comp = self._parseval_component_energies()
 
                 def ke(Wr, Wi, k0, k1, k2, *rest):
                     K0 = k0[:, None, None]
@@ -157,8 +144,7 @@ class VorticityVelocity3D(SpectralSolver):
                                           K2v * V[0] - K0 * V[2],
                                           K0 * V[1] - K1 * V[0]])
                     Uvr, Uvi = -kx(Wi) * inv, kx(Wr) * inv
-                    e = jnp.sum((Uvr * Uvr + Uvi * Uvi) * jnp.asarray(w))
-                    return 0.5 * e / (ntot * ntot)
+                    return jnp.sum(comp(Uvr, Uvi))
                 return ke
             return float(self._plan("energy_packed_vv", build)(
                 W_hat[0], W_hat[1], *self._step_args()))

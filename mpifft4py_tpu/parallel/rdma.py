@@ -123,11 +123,19 @@ _trace_counts: dict = {}
 
 
 def _guard_ids_per_trace() -> None:
-    """A single traced program with > 64 rdma collectives would wrap the id
-    space and silently alias barrier semaphores between two live collectives
-    (a device could pass the entry barrier early and post remote DMAs into a
-    peer still executing the previous kernel).  Raise loudly instead
-    (ADVICE r2); sequential programs may reuse ids freely."""
+    """Best-effort guard (ADVICE r2): a single trace body allocating > 64
+    rdma collectives would wrap the id space, and two collectives that XLA
+    could schedule concurrently with the SAME id can alias barrier
+    semaphores (a device passing the entry barrier early).  Raise loudly on
+    the detectable case.
+
+    Honest scope: counts are per TRACE BODY (each ``shard_map`` body is its
+    own trace), so a large program composed of many shard_maps fragments the
+    count — that composition is safe anyway, because kernels in different
+    shard_map calls are data-dependent and execute sequentially, and
+    sequential same-id collectives balance their semaphore accounting.  The
+    hazard the guard can and does catch is >64 collectives inside ONE body
+    (e.g. one fused local function with many stages × leaves)."""
     try:
         from jax._src.core import get_opaque_trace_state
         # OpaqueTraceState defines __eq__ but not __hash__; key on the
@@ -141,8 +149,11 @@ def _guard_ids_per_trace() -> None:
             f"more than {_MAX_COLLECTIVES_PER_TRACE} rdma collectives in one "
             "traced program: barrier-semaphore collective ids would alias. "
             "Split the program, or pass explicit collective_id= values.")
-    if len(_trace_counts) > 16:  # bounded: old traces are dead weakrefs
-        _trace_counts.clear()
+    if len(_trace_counts) > 16:
+        # evict DEAD traces only — clearing live entries would silently
+        # reset an active trace's count
+        for k in [k for k in _trace_counts if k() is None]:
+            del _trace_counts[k]
     _trace_counts[ts] = n
 
 

@@ -241,6 +241,21 @@ class _PackedDist1D:
             return fn(x)
         return run
 
+    def _packed_gate_is_serial(self, dealias) -> bool:
+        """Shared entry gate of the packed interface: raises outside the
+        envelope; returns True when the serial (non-shard_map) kernel chain
+        should serve it (single device, unless MPIFFT4PY_TPU_FORCE_DIST
+        forces the distributed program for benchmarking)."""
+        import os
+        if dealias == "3/2-rule" or not self._packed_iface_ok(dealias):
+            raise ValueError(
+                "packed interface needs an fp32 R2C with a single distributed "
+                "transpose (slab at any P; pencil with P2==1 or the wide "
+                "P2>1 layout), (N2/2)%128==0, TPU, and dealias in "
+                "(None, '2/3-rule')")
+        return (int(self.mesh.shape[self._dist_axis]) == 1 and self.P == 1
+                and not os.environ.get("MPIFFT4PY_TPU_FORCE_DIST"))
+
     def forward_packed_fn(self, dealias=None):
         """real (…, N0, N1, N2) -> packed planar pair (…, N0, N1, N2/2) —
         the MXU pipeline WITHOUT the complex epilogue.  Plane k2=0 carries
@@ -249,15 +264,8 @@ class _PackedDist1D:
         spectral_layout='packed' takes the 256³ RK4 step from 112 to 77 ms).
         Serves P==1 (serial kernel chain) and P>1 (planar pair across the
         transpose); leading dims batch."""
-        if dealias == "3/2-rule" or not self._packed_iface_ok(dealias):
-            raise ValueError(
-                "packed interface needs an fp32 R2C with a single distributed "
-                "transpose (slab, or pencil with P2==1), (N2/2)%128==0, TPU, "
-                "and dealias in (None, '2/3-rule')")
-        import os
         from .ops import pallas_fft3d as p3
-        if (int(self.mesh.shape[self._dist_axis]) == 1 and self.P == 1
-                and not os.environ.get("MPIFFT4PY_TPU_FORCE_DIST")):
+        if self._packed_gate_is_serial(dealias):
             def fwd(u):
                 yr, yi = p3.rfft3d_packed(u)
                 if dealias == "2/3-rule":
@@ -274,15 +282,8 @@ class _PackedDist1D:
 
     def backward_packed_fn(self, dealias=None):
         """Inverse of ``forward_packed_fn`` (same envelope)."""
-        if dealias == "3/2-rule" or not self._packed_iface_ok(dealias):
-            raise ValueError(
-                "packed interface needs an fp32 R2C with a single distributed "
-                "transpose (slab, or pencil with P2==1), (N2/2)%128==0, TPU, "
-                "and dealias in (None, '2/3-rule')")
-        import os
         from .ops import pallas_fft3d as p3
-        if (int(self.mesh.shape[self._dist_axis]) == 1 and self.P == 1
-                and not os.environ.get("MPIFFT4PY_TPU_FORCE_DIST")):
+        if self._packed_gate_is_serial(dealias):
             s = tuple(int(n) for n in self.N)
 
             def bwd(pair):

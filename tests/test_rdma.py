@@ -256,3 +256,87 @@ def test_line_rdma_transform_vs_numpy(rng, monkeypatch):
         assert np.abs(fu[:, :FFT.Nf] - ref).max() / np.abs(ref).max() < 2e-6
         ub = np.asarray(FFT.ifft2(FFT.shard_complex(fu)))
         assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+@pytest.mark.parametrize("mode", ["db", "paced"])
+def test_fused_kernel_alt_schedules(rng, monkeypatch, mode):
+    """The pod-scale megakernel schedules that default hardware runs don't
+    exercise (code-review r3): the opt-in double-buffered tile staging
+    (MPIFFT4PY_TPU_RDMA_DB=1) and the paced DMA-posting branch (engaged when
+    nc·P·2 exceeds the in-flight budget) must match the unfused path."""
+    from mpifft4py_tpu.parallel import rdma
+    from mpifft4py_tpu.parallel.rdma import fused_transpose_fft_x
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    if mode == "db":
+        monkeypatch.setenv("MPIFFT4PY_TPU_RDMA_DB", "1")
+    else:
+        monkeypatch.setattr(rdma, "_post_depth", lambda nc, P: 1)
+
+    Pn, nchunks = 4, 4
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("p",))
+    N0, N1, h = 16, 16, 256
+    yr = rng.standard_normal((N0, N1, h)).astype(np.float32)
+    yi = rng.standard_normal((N0, N1, h)).astype(np.float32)
+
+    def fused(a, b):
+        return fused_transpose_fft_x(a, b, "p", Pn, nchunks=nchunks,
+                                     interpret=True)
+
+    def unfused(a, b):
+        a = jax.lax.all_to_all(a, "p", 1, 0, tiled=True)
+        b = jax.lax.all_to_all(b, "p", 1, 0, tiled=True)
+        return p3.fft_axis_planar(a, b, axis=0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.shard_map(
+            fused, mesh=mesh, in_specs=(P("p"), P("p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+        ref = jax.jit(jax.shard_map(
+            unfused, mesh=mesh, in_specs=(P("p"), P("p")),
+            out_specs=(P(None, "p"), P(None, "p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+    for g, rf in zip(got, ref):
+        scale = np.abs(np.asarray(rf)).max()
+        assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+
+
+def test_fused_inv_db_schedule(rng, monkeypatch):
+    """Double-buffered staging on the inverse megakernel too."""
+    from mpifft4py_tpu.parallel.rdma import fused_ifft_x_transpose
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_RDMA_DB", "1")
+    Pn = 4
+    mesh = Mesh(np.array(jax.devices()[:Pn]), ("p",))
+    N0, N1, h = 16, 16, 256
+    yr = rng.standard_normal((N0, N1 // Pn, h)).astype(np.float32)
+    yi = rng.standard_normal((N0, N1 // Pn, h)).astype(np.float32)
+
+    def fused(a, b):
+        return fused_ifft_x_transpose(a, b, "p", Pn, nchunks=4,
+                                      interpret=True)
+
+    def unfused(a, b):
+        a, b = p3.fft_axis_planar(a, b, axis=0, inverse=True)
+        a = jax.lax.all_to_all(a, "p", 0, 1, tiled=True)
+        b = jax.lax.all_to_all(b, "p", 0, 1, tiled=True)
+        return a, b
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.shard_map(
+            fused, mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P("p"), P("p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))[:2]
+        ref = jax.jit(jax.shard_map(
+            unfused, mesh=mesh, in_specs=(P(None, "p"), P(None, "p")),
+            out_specs=(P("p"), P("p")), check_vma=False))(
+            jnp.asarray(yr), jnp.asarray(yi))
+    for g, rf in zip(got, ref):
+        scale = np.abs(np.asarray(rf)).max()
+        assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
