@@ -33,7 +33,13 @@ def main():
     else:
         FFT = slab.R2C(grid, L, None, "single")
 
-    solver = MHD3D(FFT, nu=1e-3, eta=1e-3, dt=0.005, dealias="2/3-rule")
+    # the packed float-pair layout is ~1.3x faster per step when available
+    kw = dict(nu=1e-3, eta=1e-3, dt=0.005, dealias="2/3-rule")
+    try:
+        solver = MHD3D(FFT, spectral_layout="packed", **kw)
+    except ValueError:
+        solver = MHD3D(FFT, **kw)
+    print(f"spectral_layout = {solver.spectral_layout}")
     UB = solver.taylor_green_mhd(b0=0.3)
     eu, eb = solver.energies(UB)
     print(f"t=0      E_kin={eu:.6f}  E_mag={eb:.6f}")
