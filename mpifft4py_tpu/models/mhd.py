@@ -133,8 +133,8 @@ class MHD3D(SpectralSolver):
         Br, Bi = UBr[3:], UBi[3:]
         U = self._bwd_pk((Ur, Ui))
         B = self._bwd_pk((Br, Bi))
-        W = self._bwd_pk((-kx(Ui), kx(Ur)))      # ω = ifft(iK×û)
-        J = self._bwd_pk((-kx(Bi), kx(Br)))      # j = ifft(iK×b̂)
+        W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)   # ω = ifft(iK×û)
+        J = self._curl_bwd_pk(Br, Bi, k0, k1, k2)   # j = ifft(iK×b̂)
         Fu = cross(U, W) + cross(J, B)
         Fb = cross(U, B)
         Fur, Fui = self._fwd_pk(Fu)              # purify + mask inside

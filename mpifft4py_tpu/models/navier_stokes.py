@@ -141,8 +141,35 @@ class SpectralSolver:
         subclass __init__ once ``spectral_layout == 'packed'``).  The forward
         purifies the plane-0 Nyquist rider and applies the 2/3-rule mask; the
         state is always masked, so the inverse needs no mask of its own."""
+        from ..ops import pallas_fft3d as p3
         self._fwd_pk = self.FFT.forward_packed_fn(self.dealias)
         self._bwd_pk = self.FFT.backward_packed_fn()
+        # serial fast path: the curl + x-inverse fuse into one kernel (the
+        # 6-plane iK× intermediate never touches HBM); distributed paths
+        # keep the generic pipeline
+        try:
+            self._curl_fused = (
+                self.FFT._packed_gate_is_serial(self.dealias)
+                and p3.supported_c2c(int(self.FFT.N[0])))
+        except Exception:
+            self._curl_fused = False
+
+    def _curl_bwd_pk(self, Vr, Vi, k0, k1, k2):
+        """ifft of i K × V̂ for a packed 3-stack — fused kernel on the serial
+        path, generic kx + packed inverse otherwise."""
+        from ..ops import pallas_fft3d as p3
+        if getattr(self, "_curl_fused", False):
+            return p3.curl_irfft3d_packed(Vr, Vi, k0, k1, k2,
+                                          self.FFT.global_real_shape())
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+
+        def kx(V):
+            return jnp.stack([K1 * V[2] - K2v * V[1],
+                              K2v * V[0] - K0 * V[2],
+                              K0 * V[1] - K1 * V[0]])
+        return self._bwd_pk((-kx(Vi), kx(Vr)))
 
     def _packed_arrays(self):
         """FACTORED wavenumber state for the packed RHS: 1-D scaled
@@ -389,9 +416,10 @@ class NavierStokes3D(SpectralSolver):
         # ω̂ = i K × Û  →  (re, im) = (−K×Ui, K×Ur).  Two 3-stack inverse
         # chains deliberately: a single 6-stack (concatenated) call measured
         # 84.5 vs 77.0 ms/step at 256³ — the concat materialisations cost
-        # more than the saved kernel launches.
+        # more than the saved kernel launches.  The curl inverse rides the
+        # fused curl+x-IFFT kernel on the serial path (_curl_bwd_pk).
         U = self._bwd_pk((Ur, Ui))               # (3, N0, N1, N2), batched
-        W = self._bwd_pk((-kx(Ui), kx(Ur)))
+        W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],
                        U[2] * W[0] - U[0] * W[2],
                        U[0] * W[1] - U[1] * W[0]])

@@ -971,3 +971,80 @@ def irfft3d(fu, s) -> jnp.ndarray:
     fup = jnp.pad(fu, pad)
     return irfft3d_planar(jnp.real(fup).astype(jnp.float32),
                           jnp.imag(fup).astype(jnp.float32), s)
+
+
+# ---------------------------------------------------------------------------
+# Fused curl + x-inverse stage (DNS fast path, serial): W = ifft_x(i K × Û)
+# without materialising the six curl intermediates in HBM.
+# ---------------------------------------------------------------------------
+#
+# Every pseudo-spectral RHS computes the vorticity ω̂ = i K × Û and inverse-
+# transforms it.  As separate steps the curl writes (and the x-IFFT re-reads)
+# a full 6-plane intermediate (~400 MB of HBM traffic per RHS at 256³); here
+# the curl is computed in VMEM inside the x-stage kernel.  Planar semantics:
+# re(iK×Û) = −K×Ui, im(iK×Û) = K×Ur.
+
+def _curl_ifft_x_kernel(n, r, m, ur_ref, ui_ref, k0_ref, k12_ref,
+                        wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref):
+    K0 = k0_ref[...]                      # (n, 1), varies along sublanes (k0)
+    K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
+    K2 = k12_ref[1:2, :]
+    u0r, u1r, u2r = ur_ref[0], ur_ref[1], ur_ref[2]
+    u0i, u1i, u2i = ui_ref[0], ui_ref[1], ui_ref[2]
+    inv = jnp.float32(1.0 / n)
+    curls = (
+        (-(K1 * u2i - K2 * u1i), K1 * u2r - K2 * u1r),
+        (-(K2 * u0i - K0 * u2i), K2 * u0r - K0 * u2r),
+        (-(K0 * u1i - K1 * u0i), K0 * u1r - K1 * u0r),
+    )
+    for c, (ar, ai) in enumerate(curls):
+        yr, yi = _factored_vals(ar, ai, wr_ref[...], wi_ref[...],
+                                cr_ref[...], ci_ref[...], r, m)
+        or_ref[c] = yr * inv
+        oi_ref[c] = yi * inv
+
+
+def curl_irfft3d_packed(ur, ui, k0, k1, k2, s):
+    """W = irfft3d_packed of i K × Û for a packed planar state (3, N0, N1, h).
+
+    ``k0, k1, k2`` are the 1-D scaled wavenumber vectors (the solver's
+    factored arrays); ``s`` the physical shape.  The curl and the x-axis
+    inverse FFT run in ONE kernel (one HBM pass over the state)."""
+    _, N0, N1, h = ur.shape
+    r, m = _factor(N0)
+    assert r <= 8 and m >= 8, (N0, r, m)
+    tq = 128 if ((N1 * h) % 128 == 0) else h
+    postf = N1 * h
+    assert postf % tq == 0
+    wr, wi = _dft_cs(m, +1)
+    cr, ci = _combine_cs(N0, r, m, +1)
+    k0c = k0.astype(jnp.float32).reshape(N0, 1)
+    k12 = jnp.stack([jnp.repeat(k1.astype(jnp.float32), h),
+                     jnp.tile(k2.astype(jnp.float32), N1)])    # (2, N1*h)
+    x3r = ur.reshape(3, N0, postf)
+    x3i = ui.reshape(3, N0, postf)
+    bx = pl.BlockSpec((3, N0, tq), lambda q: (0, 0, q), memory_space=pltpu.VMEM)
+    c2 = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_curl_ifft_x_kernel, N0, r, m),
+        grid=(postf // tq,),
+        in_specs=[bx, bx,
+                  c2((N0, 1), lambda q: (0, 0)),
+                  c2((2, tq), lambda q: (0, q)),
+                  c2((m, m), lambda q: (0, 0)), c2((m, m), lambda q: (0, 0)),
+                  c2((r * r * m, 1), lambda q: (0, 0)),
+                  c2((r * r * m, 1), lambda q: (0, 0))],
+        out_specs=[bx, bx],
+        out_shape=[jax.ShapeDtypeStruct((3, N0, postf), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 3 * m * m * r * postf + 30 * N0 * postf,
+            bytes_accessed=4 * 4 * 3 * N0 * postf, transcendentals=0),
+    )
+    yr, yi = fn(x3r, x3i, k0c, k12, jnp.asarray(wr), jnp.asarray(wi),
+                jnp.asarray(cr), jnp.asarray(ci))
+    yr = yr.reshape(3, N0, N1, h)
+    yi = yi.reshape(3, N0, N1, h)
+    if _use_fused_zy(s[-2], s[-1]):
+        return fused_zy_bwd(yr, yi, s[-1])
+    yr, yi = fft_axis_planar(yr, yi, axis=2, inverse=True)
+    return irfft_last_packed(yr, yi, s[-1])

@@ -112,3 +112,54 @@ def test_factored_packed_z_kernels_vs_numpy(rng, monkeypatch):
     assert not p3._zfact_ok(256)  # small n stays on the dense kernels
     monkeypatch.delenv("MPIFFT4PY_TPU_ZFACT")
     assert not p3._zfact_ok(1024)  # off by default (measured slower on v5e)
+
+
+def test_curl_irfft3d_packed_matches_unfused(rng):
+    """Fused curl + x-inverse kernel == kx() followed by irfft3d_packed
+    (the DNS RHS pattern; VMEM curl saves the 6-plane HBM intermediate).
+    State is 2/3-rule masked — the model's envelope (unmasked Nyquist modes
+    make iK× non-Hermitian, where packed-inverse and numpy legitimately
+    differ)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    N0, N1, h = 16, 16, 128
+    N2 = 2 * h
+    u = rng.standard_normal((3, N0, N1, N2))
+    fu = np.fft.rfftn(u, axes=(1, 2, 3)).astype(np.complex64)
+    k0 = np.fft.fftfreq(N0, 1 / N0).astype(np.float32)
+    k1 = np.fft.fftfreq(N1, 1 / N1).astype(np.float32)
+    k2 = np.arange(h, dtype=np.float32)
+    mask = ((np.abs(k0)[:, None, None] < 2 / 3 * (N0 // 2))
+            & (np.abs(k1)[None, :, None] < 2 / 3 * (N1 // 2))
+            & (k2[None, None, :] < 2 / 3 * (N2 // 2)))
+    with pltpu.force_tpu_interpret_mode():
+        yr, yi = p3.pack_spectrum(jnp.asarray(fu))
+        pr, pi = p3.purify_plane0(yr, yi)
+        pr = jnp.where(mask, pr, 0)
+        pi = jnp.where(mask, pi, 0)
+        W = np.asarray(jax.jit(
+            lambda a, b: p3.curl_irfft3d_packed(
+                a, b, jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2),
+                (N0, N1, N2)))(pr, pi))
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2 = k2[None, None, :]
+
+        def kx(V):
+            V = np.asarray(V, np.float64)
+            return np.stack([K1 * V[2] - K2 * V[1], K2 * V[0] - K0 * V[2],
+                             K0 * V[1] - K1 * V[0]]).astype(np.float32)
+        Wref = np.asarray(jax.jit(
+            lambda a, b: p3.irfft3d_packed(a, b, (N0, N1, N2)))(
+            jnp.asarray(-kx(pi)), jnp.asarray(kx(pr))))
+    assert np.abs(W - Wref).max() / np.abs(Wref).max() < 1e-5
+    # numpy oracle on the masked (model-envelope) state
+    fu2 = np.asarray(pr) + 1j * np.asarray(pi)
+    full = np.concatenate([fu2, np.zeros_like(fu2[..., :1])], -1)
+    Kf = np.meshgrid(k0, k1, np.arange(h + 1), indexing="ij")
+    cu = 1j * np.stack([Kf[1] * full[2] - Kf[2] * full[1],
+                        Kf[2] * full[0] - Kf[0] * full[2],
+                        Kf[0] * full[1] - Kf[1] * full[0]])
+    refn = np.fft.irfftn(cu, s=(N0, N1, N2), axes=(1, 2, 3))
+    assert np.abs(W - refn).max() / np.abs(refn).max() < 2e-6
