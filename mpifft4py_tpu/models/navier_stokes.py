@@ -154,21 +154,28 @@ class SpectralSolver:
         except Exception:
             self._curl_fused = False
 
-    def _curl_bwd_pk(self, Vr, Vi, k0, k1, k2):
-        """ifft of i K × V̂ for a packed 3-stack — fused kernel on the serial
-        path, generic kx + packed inverse otherwise."""
+    def _curl_bwd_pk(self, Vr, Vi, k0, k1, k2, biot_savart: bool = False):
+        """ifft of i K × V̂ (optionally ×1/|k|² — Biot–Savart) for a packed
+        3-stack — fused kernel on the serial path, generic kx + packed
+        inverse otherwise."""
         from ..ops import pallas_fft3d as p3
         if getattr(self, "_curl_fused", False):
             return p3.curl_irfft3d_packed(Vr, Vi, k0, k1, k2,
-                                          self.FFT.global_real_shape())
+                                          self.FFT.global_real_shape(),
+                                          biot_savart=biot_savart)
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
+        if biot_savart:
+            ksq = K0 * K0 + K1 * K1 + K2v * K2v
+            kinv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+        else:
+            kinv = 1.0
 
         def kx(V):
-            return jnp.stack([K1 * V[2] - K2v * V[1],
-                              K2v * V[0] - K0 * V[2],
-                              K0 * V[1] - K1 * V[0]])
+            return jnp.stack([(K1 * V[2] - K2v * V[1]) * kinv,
+                              (K2v * V[0] - K0 * V[2]) * kinv,
+                              (K0 * V[1] - K1 * V[0]) * kinv])
         return self._bwd_pk((-kx(Vi), kx(Vr)))
 
     def _packed_arrays(self):

@@ -104,15 +104,14 @@ class VorticityVelocity3D(SpectralSolver):
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
         ksq = K0 * K0 + K1 * K1 + K2v * K2v
-        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
 
         def kx(V):
             return jnp.stack([K1 * V[2] - K2v * V[1],
                               K2v * V[0] - K0 * V[2],
                               K0 * V[1] - K1 * V[0]])
 
-        # û = i(k×ω̂)/k² → (re, im) = (−K×Wi, K×Wr)·inv
-        U = self._bwd_pk((-kx(Wi) * inv, kx(Wr) * inv))
+        # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
+        U = self._curl_bwd_pk(Wr, Wi, k0, k1, k2, biot_savart=True)
         W = self._bwd_pk((Wr, Wi))
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],
                        U[2] * W[0] - U[0] * W[2],

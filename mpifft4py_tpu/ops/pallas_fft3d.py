@@ -984,7 +984,8 @@ def irfft3d(fu, s) -> jnp.ndarray:
 # the curl is computed in VMEM inside the x-stage kernel.  Planar semantics:
 # re(iK×Û) = −K×Ui, im(iK×Û) = K×Ur.
 
-def _curl_ifft_x_kernel(n, r, m, ur_ref, ui_ref, k0_ref, k12_ref,
+def _curl_ifft_x_kernel(n, r, m, biot_savart,
+                        ur_ref, ui_ref, k0_ref, k12_ref,
                         wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref):
     K0 = k0_ref[...]                      # (n, 1), varies along sublanes (k0)
     K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
@@ -992,24 +993,31 @@ def _curl_ifft_x_kernel(n, r, m, ur_ref, ui_ref, k0_ref, k12_ref,
     u0r, u1r, u2r = ur_ref[0], ur_ref[1], ur_ref[2]
     u0i, u1i, u2i = ui_ref[0], ui_ref[1], ui_ref[2]
     inv = jnp.float32(1.0 / n)
+    if biot_savart:  # û = i(K×ω̂)/|k|² — fold 1/k² into the curl factors
+        ksq = K0 * K0 + K1 * K1 + K2 * K2
+        kinv = inv / jnp.where(ksq == 0, 1.0, ksq)
+    else:
+        kinv = inv
     curls = (
         (-(K1 * u2i - K2 * u1i), K1 * u2r - K2 * u1r),
         (-(K2 * u0i - K0 * u2i), K2 * u0r - K0 * u2r),
         (-(K0 * u1i - K1 * u0i), K0 * u1r - K1 * u0r),
     )
     for c, (ar, ai) in enumerate(curls):
-        yr, yi = _factored_vals(ar, ai, wr_ref[...], wi_ref[...],
+        yr, yi = _factored_vals(ar * kinv, ai * kinv, wr_ref[...], wi_ref[...],
                                 cr_ref[...], ci_ref[...], r, m)
-        or_ref[c] = yr * inv
-        oi_ref[c] = yi * inv
+        or_ref[c] = yr
+        oi_ref[c] = yi
 
 
-def curl_irfft3d_packed(ur, ui, k0, k1, k2, s):
+def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False):
     """W = irfft3d_packed of i K × Û for a packed planar state (3, N0, N1, h).
 
     ``k0, k1, k2`` are the 1-D scaled wavenumber vectors (the solver's
     factored arrays); ``s`` the physical shape.  The curl and the x-axis
-    inverse FFT run in ONE kernel (one HBM pass over the state)."""
+    inverse FFT run in ONE kernel (one HBM pass over the state).
+    ``biot_savart=True`` folds the 1/|k|² factor in (û from ω̂ — the
+    vorticity-form velocity recovery)."""
     _, N0, N1, h = ur.shape
     r, m = _factor(N0)
     assert r <= 8 and m >= 8, (N0, r, m)
@@ -1026,7 +1034,7 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s):
     bx = pl.BlockSpec((3, N0, tq), lambda q: (0, 0, q), memory_space=pltpu.VMEM)
     c2 = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
-        partial(_curl_ifft_x_kernel, N0, r, m),
+        partial(_curl_ifft_x_kernel, N0, r, m, bool(biot_savart)),
         grid=(postf // tq,),
         in_specs=[bx, bx,
                   c2((N0, 1), lambda q: (0, 0)),

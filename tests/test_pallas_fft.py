@@ -163,3 +163,15 @@ def test_curl_irfft3d_packed_matches_unfused(rng):
                         Kf[0] * full[1] - Kf[1] * full[0]])
     refn = np.fft.irfftn(cu, s=(N0, N1, N2), axes=(1, 2, 3))
     assert np.abs(W - refn).max() / np.abs(refn).max() < 2e-6
+
+    # Biot–Savart variant: the 1/|k|² factor folded into the fused kernel
+    # (VV's û-from-ω̂ recovery) == numpy on the masked state.
+    with pltpu.force_tpu_interpret_mode():
+        U = np.asarray(jax.jit(
+            lambda a, b: p3.curl_irfft3d_packed(
+                a, b, jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2),
+                (N0, N1, N2), biot_savart=True))(pr, pi))
+    ksq = Kf[0] ** 2 + Kf[1] ** 2 + Kf[2] ** 2
+    refu = np.fft.irfftn(cu / np.where(ksq == 0, 1, ksq),
+                         s=(N0, N1, N2), axes=(1, 2, 3))
+    assert np.abs(U - refu).max() / np.abs(refu).max() < 2e-6
