@@ -114,7 +114,6 @@ class MHD3D(SpectralSolver):
         """Packed-pair MHD right-hand side (state (6, N0, N1, h) ×2): the
         NS packed fast path extended with the Lorentz force and the
         solenoidal induction curl (VERDICT r2 item-1 machinery reused)."""
-        del m0, m1, m2  # mask lives inside the packed forward transform
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
@@ -135,6 +134,19 @@ class MHD3D(SpectralSolver):
         B = self._bwd_pk((Br, Bi))
         W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)   # ω = ifft(iK×û)
         J = self._curl_bwd_pk(Br, Bi, k0, k1, k2)   # j = ifft(iK×b̂)
+        from ..ops.pallas_fft3d import cross_zy_ok
+        if getattr(self, "_nl_fused", False) and \
+                cross_zy_ok(U.shape[2], U.shape[3], two=True):
+            kargs = (k0, k1, k2, m0, m1, m2)
+            # momentum: project(fft(U×W + J×B)) − νk²û; the two crosses sum
+            # inside ONE z/y kernel (four physical stacks in, one pair out)
+            dUr, dUi = self._nl_fwd_epilogue_pk(
+                U, W, Ur, Ui, kargs, "project", self.nu, C=J, D=B)
+            # induction: iK×fft(U×B) − ηk²b̂ — exact-solenoidal by form
+            dBr, dBi = self._nl_fwd_epilogue_pk(
+                U, B, Br, Bi, kargs, "curl", self.eta)
+            return (jnp.concatenate([dUr, dBr]),
+                    jnp.concatenate([dUi, dBi]))
         Fu = cross(U, W) + cross(J, B)
         Fb = cross(U, B)
         Fur, Fui = self._fwd_pk(Fu)              # purify + mask inside

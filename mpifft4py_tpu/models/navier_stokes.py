@@ -153,6 +153,48 @@ class SpectralSolver:
                 and p3.supported_c2c(int(self.FFT.N[0])))
         except Exception:
             self._curl_fused = False
+        # serial fast path for the whole nonlinear term: cross product +
+        # z/y forward in one kernel, x-forward + mask + projection/curl +
+        # diffusion in a second (the F field and the pre-projection spectrum
+        # never touch HBM); plane-0 purify is a column update afterwards
+        N = [int(n) for n in self.FFT.N]
+        self._nl_fused = (
+            getattr(self, "_curl_fused", False)
+            and p3.fft_x_epilogue_ok(N[0]))
+
+    def _nl_fwd_epilogue_pk(self, A, B, Sr, Si, kargs, mode, visc,
+                            C=None, D=None, buoy=None):
+        """Fused  purify(mask·epilogue(fft(A×B [+ C×D]))) − visc·k²·S  on the
+        serial packed path (requires self._nl_fused).  The cross product
+        rides the z/y forward kernel when its 3-components-per-block VMEM
+        budget fits (256³-class); larger grids (512³) cross in XLA but still
+        get the fused x-stage epilogue."""
+        from ..ops import pallas_fft3d as p3
+        k0, k1, k2, m0, m1, m2 = kargs
+        n1, n2 = A.shape[2], A.shape[3]
+        if p3.cross_zy_ok(n1, n2, C is not None):
+            Fzr, Fzi = p3.cross_rfft_zy_packed(A, B, C, D)
+        else:
+            F = jnp.stack([A[1] * B[2] - A[2] * B[1],
+                           A[2] * B[0] - A[0] * B[2],
+                           A[0] * B[1] - A[1] * B[0]])
+            if C is not None:
+                F = F + jnp.stack([C[1] * D[2] - C[2] * D[1],
+                                   C[2] * D[0] - C[0] * D[2],
+                                   C[0] * D[1] - C[1] * D[0]])
+            Fzr, Fzi = self._zy_fwd_pk(F)
+        dr, di = p3.fft_x_epilogue_packed(Fzr, Fzi, Sr, Si, k0, k1, k2,
+                                          m0, m1, m2, mode, visc, buoy=buoy)
+        return p3.purify_plane0_dus(dr, di)
+
+    def _zy_fwd_pk(self, F):
+        """Serial z+y forward of a physical stack to the pre-x-stage packed
+        pair (the first two thirds of rfft3d_packed)."""
+        from ..ops import pallas_fft3d as p3
+        if p3._use_fused_zy(F.shape[-2], F.shape[-1]):
+            return p3.fused_zy_fwd(F)
+        yr, yi = p3.rfft_last_packed(F)
+        return p3.fft_axis_planar(yr, yi, axis=F.ndim - 2)
 
     def _curl_bwd_pk(self, Vr, Vi, k0, k1, k2, biot_savart: bool = False):
         """ifft of i K × V̂ (optionally ×1/|k|² — Biot–Savart) for a packed
@@ -410,15 +452,10 @@ class NavierStokes3D(SpectralSolver):
     # fast layout survives slab (and pencil-P2==1) sharding.
 
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
-        del m0, m1, m2  # the mask lives inside the packed forward transform
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
-
-        def kx(V):
-            return jnp.stack([K1 * V[2] - K2v * V[1],
-                              K2v * V[0] - K0 * V[2],
-                              K0 * V[1] - K1 * V[0]])
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
 
         # ω̂ = i K × Û  →  (re, im) = (−K×Ui, K×Ur).  Two 3-stack inverse
         # chains deliberately: a single 6-stack (concatenated) call measured
@@ -427,18 +464,23 @@ class NavierStokes3D(SpectralSolver):
         # fused curl+x-IFFT kernel on the serial path (_curl_bwd_pk).
         U = self._bwd_pk((Ur, Ui))               # (3, N0, N1, N2), batched
         W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
-        F = jnp.stack([U[1] * W[2] - U[2] * W[1],
-                       U[2] * W[0] - U[0] * W[2],
-                       U[0] * W[1] - U[1] * W[0]])
-        Fr, Fi = self._fwd_pk(F)                 # purify + 2/3-rule mask inside
-        ksq = K0 * K0 + K1 * K1 + K2v * K2v
-        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
-        dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
-        di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
-        Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
-        Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
-        dUr = Fr - self.nu * ksq[None] * Ur
-        dUi = Fi - self.nu * ksq[None] * Ui
+        if getattr(self, "_nl_fused", False):
+            # cross product + forward + projection + viscous term in two
+            # kernels; F = U×W and the pre-projection F̂ never touch HBM
+            dUr, dUi = self._nl_fwd_epilogue_pk(
+                U, W, Ur, Ui, (k0, k1, k2, m0, m1, m2), "project", self.nu)
+        else:
+            F = jnp.stack([U[1] * W[2] - U[2] * W[1],
+                           U[2] * W[0] - U[0] * W[2],
+                           U[0] * W[1] - U[1] * W[0]])
+            Fr, Fi = self._fwd_pk(F)             # purify + 2/3-rule mask inside
+            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+            dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
+            di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
+            Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+            Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
+            dUr = Fr - self.nu * ksq[None] * Ur
+            dUi = Fi - self.nu * ksq[None] * Ui
         if self.forcing_band is not None and self.forcing_rate > 0:
             # packed-layout band forcing (complex-layout mirror below): after
             # purification the packed pair holds no Nyquist modes, so the

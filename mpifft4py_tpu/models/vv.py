@@ -99,7 +99,13 @@ class VorticityVelocity3D(SpectralSolver):
     def rhs_packed(self, Wr, Wi, k0, k1, k2, m0, m1, m2):
         """Packed-pair vorticity-form RHS: Biot–Savart recovery and the curl
         of the nonlinear term as pure float-pair algebra."""
-        del m0, m1, m2
+        # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
+        U = self._curl_bwd_pk(Wr, Wi, k0, k1, k2, biot_savart=True)
+        W = self._bwd_pk((Wr, Wi))
+        if getattr(self, "_nl_fused", False):
+            # dω̂ = mask·(iK×fft(U×W)) − νk²ω̂ in two fused kernels
+            return self._nl_fwd_epilogue_pk(
+                U, W, Wr, Wi, (k0, k1, k2, m0, m1, m2), "curl", self.nu)
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
@@ -110,9 +116,6 @@ class VorticityVelocity3D(SpectralSolver):
                               K2v * V[0] - K0 * V[2],
                               K0 * V[1] - K1 * V[0]])
 
-        # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
-        U = self._curl_bwd_pk(Wr, Wi, k0, k1, k2, biot_savart=True)
-        W = self._bwd_pk((Wr, Wi))
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],
                        U[2] * W[0] - U[0] * W[2],
                        U[0] * W[1] - U[1] * W[0]])

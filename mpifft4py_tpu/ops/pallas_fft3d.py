@@ -1056,3 +1056,273 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False):
         return fused_zy_bwd(yr, yi, s[-1])
     yr, yi = fft_axis_planar(yr, yi, axis=2, inverse=True)
     return irfft_last_packed(yr, yi, s[-1])
+
+
+# ---------------------------------------------------------------------------
+# Fused nonlinear-term kernels (DNS fast path, serial).  The solver RHS's
+# elementwise stages fold into the transform kernels so the intermediates
+# (the cross product F, the pre-projection spectrum F̂) never touch HBM:
+#   cross_rfft_zy_packed:   F = A×B (+ C×D), then packed z-rfft + y-FFT.
+#   fft_x_epilogue_packed:  x-FFT, 2/3-rule mask, then the spectral epilogue
+#     (Leray projection or iK× curl) and the diffusive −c·k²·S term — emits
+#     the RHS increment directly.
+# Plane-0 purification cannot ride either kernel (it needs (k0,k1) flips —
+# Mosaic has no rev); purify_plane0_dus applies it as a k2=0-column update.
+# ---------------------------------------------------------------------------
+
+def _cross_zy_kernel(r, m, two, *refs):
+    if two:
+        (a_ref, b_ref, c_ref, d_ref, A_ref, Bm_ref, wr_ref, wi_ref,
+         cr_ref, ci_ref, or_ref, oi_ref) = refs
+    else:
+        (a_ref, b_ref, A_ref, Bm_ref, wr_ref, wi_ref,
+         cr_ref, ci_ref, or_ref, oi_ref) = refs
+    a0, a1, a2 = a_ref[0, 0], a_ref[1, 0], a_ref[2, 0]
+    b0, b1, b2 = b_ref[0, 0], b_ref[1, 0], b_ref[2, 0]
+    f = [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0]
+    if two:
+        c0, c1, c2 = c_ref[0, 0], c_ref[1, 0], c_ref[2, 0]
+        d0, d1, d2 = d_ref[0, 0], d_ref[1, 0], d_ref[2, 0]
+        f[0] = f[0] + (c1 * d2 - c2 * d1)
+        f[1] = f[1] + (c2 * d0 - c0 * d2)
+        f[2] = f[2] + (c0 * d1 - c1 * d0)
+    for c in range(3):
+        pr = _dot(f[c], A_ref[...])
+        pi = _dot(f[c], Bm_ref[...])
+        yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
+                                cr_ref[...], ci_ref[...], r, m)
+        or_ref[c, 0] = yr
+        oi_ref[c, 0] = yi
+
+
+def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
+    """VMEM gate: blocks hold all 3 components of every operand (the cross
+    mixes them), so the budget is 3× fused_zy_fwd's — 256³ fits, 512³ not."""
+    if (n2 // 2) % 128 != 0:
+        return False
+    r, m = _factor(n1)
+    nin = 4 if two else 2
+    vmem = (nin * 3 * n1 * n2 + 2 * 3 * n1 * (n2 // 2)) * 2 * 4 \
+        + (2 * n2 * (n2 // 2) + 2 * m * m) * 4
+    return r <= 4 and m >= 64 and vmem < 13 * 1024 * 1024
+
+
+def cross_rfft_zy_packed(a, b, c=None, d=None):
+    """(A×B [+ C×D]) with the packed z-rfft + y-FFT fused behind it — the
+    cross-product field never materialises in HBM.  Inputs physical
+    (3, N0, N1, N2); returns the packed planar pair (3, N0, N1, h) with z and
+    y transformed (x pending — feed fft_x_epilogue_packed)."""
+    two = c is not None
+    _, N0, N1, N2 = a.shape
+    h = N2 // 2
+    assert cross_zy_ok(N1, N2, two), (N1, N2, two)
+    r, m = _factor(N1)
+    A, Bm = _packed_rdft_cs(N2)
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(N1, r, m, -1)
+    bx = pl.BlockSpec((3, 1, N1, N2), lambda i: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((3, 1, N1, h), lambda i: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    ins = [a, b] + ([c, d] if two else [])
+    nin = len(ins)
+    fn = pl.pallas_call(
+        partial(_cross_zy_kernel, r, m, two),
+        grid=(N0,),
+        in_specs=[bx] * nin + [c2((N2, h)), c2((N2, h)), c2((m, m)),
+                               c2((m, m)), c2((r * r * m, 1)),
+                               c2((r * r * m, 1))],
+        out_specs=[bo, bo],
+        out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * N0 * N1 * (2 * N2 * h + 3 * m * m * r)
+            + nin * 3 * N0 * N1 * N2,
+            bytes_accessed=(nin * 3 * N0 * N1 * N2
+                            + 2 * 3 * N0 * N1 * h) * 4,
+            transcendentals=0),
+    )
+    return fn(*[x.astype(jnp.float32) for x in ins],
+              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
+              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+
+
+def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
+    if ri is not None:                    # buoyancy rider (project mode)
+        (fr_ref, fi_ref, sr_ref, si_ref, tr_ref, ti_ref,
+         k0_ref, k12_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+         or_ref, oi_ref) = refs
+    else:
+        (fr_ref, fi_ref, sr_ref, si_ref, k0_ref, k12_ref,
+         wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref) = refs
+    K0 = k0_ref[:, 0:1]                   # (n, 1), varies along sublanes
+    M0 = k0_ref[:, 1:2]
+    K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
+    K2 = k12_ref[1:2, :]
+    M12 = k12_ref[2:3, :]
+    mask = M0 * M12                       # (n, tq) 0/1 floats
+    F = []
+    for c in range(3):
+        yr, yi = _factored_vals(fr_ref[c], fi_ref[c], wr_ref[...],
+                                wi_ref[...], cr_ref[...], ci_ref[...], r, m)
+        F.append((yr * mask, yi * mask))
+    if ri is not None:                    # F̂₂ += Ri·θ̂ BEFORE projection
+        F[2] = (F[2][0] + jnp.float32(ri) * tr_ref[0],
+                F[2][1] + jnp.float32(ri) * ti_ref[0])
+    ksq = K0 * K0 + K1 * K1 + K2 * K2
+    Ks = (K0, K1, K2)
+    nu = jnp.float32(visc)
+    if mode == "project":
+        inv = 1.0 / jnp.where(ksq == 0, 1.0, ksq)
+        dr = (K0 * F[0][0] + K1 * F[1][0] + K2 * F[2][0]) * inv
+        di = (K0 * F[0][1] + K1 * F[1][1] + K2 * F[2][1]) * inv
+        for c in range(3):
+            or_ref[c] = F[c][0] - Ks[c] * dr - nu * ksq * sr_ref[c]
+            oi_ref[c] = F[c][1] - Ks[c] * di - nu * ksq * si_ref[c]
+    elif mode == "div":                   # dS = −i k·F̂ − visc·k²·S (scalar)
+        or_ref[0] = (K0 * F[0][1] + K1 * F[1][1] + K2 * F[2][1]) \
+            - nu * ksq * sr_ref[0]
+        oi_ref[0] = -(K0 * F[0][0] + K1 * F[1][0] + K2 * F[2][0]) \
+            - nu * ksq * si_ref[0]
+    else:                                 # "curl": dS = iK×F̂ − visc·k²·S
+        Fr = [F[c][0] for c in range(3)]
+        Fi = [F[c][1] for c in range(3)]
+
+        def kxc(V, c):
+            i, j = ((1, 2), (2, 0), (0, 1))[c]
+            return Ks[i] * V[j] - Ks[j] * V[i]
+        for c in range(3):
+            or_ref[c] = -kxc(Fi, c) - nu * ksq * sr_ref[c]
+            oi_ref[c] = kxc(Fr, c) - nu * ksq * si_ref[c]
+
+
+def fft_x_epilogue_ok(n0: int) -> bool:
+    """VMEM gate: 6 (3, n0, 128) blocks double-buffered + value temps."""
+    r, m = _factor(n0)
+    vmem = 18 * n0 * 128 * 4 * 2 + 10 * n0 * 128 * 4 + 2 * m * m * 4
+    return r <= 8 and m >= 8 and vmem < 14 * 1024 * 1024
+
+
+def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
+                          mode: str, visc: float, buoy=None):
+    """x-axis forward FFT of a packed 3-stack + the RHS spectral epilogue in
+    ONE kernel: 2/3-rule mask, then ``mode``:
+      "project" — Leray projection  dS = mask·P(F̂) − visc·k²·S
+      "curl"    — spectral curl     dS = mask·(iK×F̂) − visc·k²·S
+      "div"     — neg. divergence   dS = −mask·(ik·F̂) − visc·k²·S (scalar S)
+    ``(fzr, fzi)`` is the pair after cross_rfft_zy_packed (z+y transformed);
+    ``(sr, si)`` the packed solver state carrying the diffusive term — a
+    3-stack, or a 1-stack for "div";  ``m0, m1, m2`` the solver's 1-D dealias
+    masks (bool).  ``buoy=(Tr, Ti, Ri)`` (project only) adds Ri·θ̂ ê_z to F̂
+    before projecting — the Boussinesq buoyancy term.  The plane-0 rider is
+    NOT purified here — callers apply purify_plane0_dus to the result."""
+    _, N0, N1, h = fzr.shape
+    ns = 1 if mode == "div" else 3
+    assert sr.shape[0] == ns, (sr.shape, mode)
+    r, m = _factor(N0)
+    assert fft_x_epilogue_ok(N0), N0
+    tq = 128 if ((N1 * h) % 128 == 0) else h
+    postf = N1 * h
+    assert postf % tq == 0
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(N0, r, m, -1)
+    f32 = jnp.float32
+    k0c = jnp.stack([k0.astype(f32), m0.astype(f32)], axis=1)       # (N0, 2)
+    m12 = jnp.repeat(m1.astype(f32), h) * jnp.tile(m2.astype(f32), N1)
+    k12 = jnp.stack([jnp.repeat(k1.astype(f32), h),
+                     jnp.tile(k2.astype(f32), N1), m12])            # (3, N1*h)
+    xs = [fzr.reshape(3, N0, postf), fzi.reshape(3, N0, postf),
+          sr.reshape(ns, N0, postf), si.reshape(ns, N0, postf)]
+    ri = None
+    if buoy is not None:
+        assert mode == "project"
+        tr, ti, ri = buoy
+        xs += [tr.reshape(1, N0, postf), ti.reshape(1, N0, postf)]
+        ri = float(ri)
+    bk = lambda nc: pl.BlockSpec((nc, N0, tq), lambda q: (0, 0, q),
+                                 memory_space=pltpu.VMEM)
+    c2 = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
+    in_specs = [bk(3), bk(3), bk(ns), bk(ns)] \
+        + ([bk(1), bk(1)] if buoy is not None else []) \
+        + [c2((N0, 2), lambda q: (0, 0)),
+           c2((3, tq), lambda q: (0, q)),
+           c2((m, m), lambda q: (0, 0)), c2((m, m), lambda q: (0, 0)),
+           c2((r * r * m, 1), lambda q: (0, 0)),
+           c2((r * r * m, 1), lambda q: (0, 0))]
+    fn = pl.pallas_call(
+        partial(_fft_x_epilogue_kernel, N0, r, m, mode, float(visc), ri),
+        grid=(postf // tq,),
+        in_specs=in_specs,
+        out_specs=[bk(ns), bk(ns)],
+        out_shape=[jax.ShapeDtypeStruct((ns, N0, postf), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 3 * m * m * r * postf + 40 * N0 * postf,
+            bytes_accessed=4 * (6 + 2 * ns) * N0 * postf, transcendentals=0),
+    )
+    yr, yi = fn(*xs, k0c, k12, jnp.asarray(wr), jnp.asarray(wi),
+                jnp.asarray(cr), jnp.asarray(ci))
+    return yr.reshape(ns, N0, N1, h), yi.reshape(ns, N0, N1, h)
+
+
+def _mul_zy_kernel(r, m, a_ref, t_ref, A_ref, Bm_ref, wr_ref, wi_ref,
+                   cr_ref, ci_ref, or_ref, oi_ref):
+    t = t_ref[0, 0]
+    for c in range(3):
+        f = a_ref[c, 0] * t
+        pr = _dot(f, A_ref[...])
+        pi = _dot(f, Bm_ref[...])
+        yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
+                                cr_ref[...], ci_ref[...], r, m)
+        or_ref[c, 0] = yr
+        oi_ref[c, 0] = yi
+
+
+def mul_rfft_zy_packed(a, t):
+    """(a_c·t) for a 3-stack ``a`` and scalar field ``t`` (1, N0, N1, N2)
+    with the packed z-rfft + y-FFT fused behind it — the flux field u·θ
+    never materialises in HBM (Boussinesq scalar advection)."""
+    _, N0, N1, N2 = a.shape
+    h = N2 // 2
+    assert cross_zy_ok(N1, N2), (N1, N2)
+    r, m = _factor(N1)
+    A, Bm = _packed_rdft_cs(N2)
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(N1, r, m, -1)
+    bx = pl.BlockSpec((3, 1, N1, N2), lambda i: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bt = pl.BlockSpec((1, 1, N1, N2), lambda i: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((3, 1, N1, h), lambda i: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_mul_zy_kernel, r, m),
+        grid=(N0,),
+        in_specs=[bx, bt, c2((N2, h)), c2((N2, h)), c2((m, m)), c2((m, m)),
+                  c2((r * r * m, 1)), c2((r * r * m, 1))],
+        out_specs=[bo, bo],
+        out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * N0 * N1 * (2 * N2 * h + 3 * m * m * r)
+            + 3 * N0 * N1 * N2,
+            bytes_accessed=(4 * N0 * N1 * N2 + 2 * 3 * N0 * N1 * h) * 4,
+            transcendentals=0),
+    )
+    return fn(a.astype(jnp.float32), t.astype(jnp.float32),
+              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
+              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+
+
+def purify_plane0_dus(yr, yi):
+    """purify_plane0 as an in-place k2=0-column update (dynamic-update-slice)
+    instead of a whole-array concat: measured 1.21 vs 2.18 ms standalone on a
+    256³ 3-stack — the right form when the result is NOT consumed by a larger
+    elementwise fusion (e.g. straight out of a Pallas kernel)."""
+    qr, qi = yr[..., 0], yi[..., 0]
+    axes = (qr.ndim - 2, qr.ndim - 1)
+    fr = jnp.roll(jnp.flip(qr, axis=axes), (1, 1), axis=axes)
+    fi = jnp.roll(jnp.flip(qi, axis=axes), (1, 1), axis=axes)
+    return (yr.at[..., 0].set(0.5 * (qr + fr)),
+            yi.at[..., 0].set(0.5 * (qi - fi)))
