@@ -126,8 +126,7 @@ class Boussinesq3D(SpectralSolver):
         U = self._bwd_pk((Ur, Ui))
         th = self._bwd_pk((Tr, Ti))
         W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
-        if getattr(self, "_nl_fused", False):
-            from ..ops import pallas_fft3d as p3
+        if self._nl_any_fused:
             kargs = (k0, k1, k2, m0, m1, m2)
             # momentum: project(fft(U×W) + Ri·θ̂ê_z) − νk²û — the buoyancy
             # rider joins F̂ inside the epilogue kernel, before projection
@@ -135,14 +134,8 @@ class Boussinesq3D(SpectralSolver):
                 U, W, Ur, Ui, kargs, "project", self.nu,
                 buoy=(Tr[None], Ti[None], self.Ri))
             # scalar flux: dθ̂ = −ik·fft(U·θ) − κk²θ̂ (conservative form)
-            if p3.cross_zy_ok(U.shape[2], U.shape[3]):
-                Gzr, Gzi = p3.mul_rfft_zy_packed(U, th[None])
-            else:
-                Gzr, Gzi = self._zy_fwd_pk(U * th[None])
-            dTr, dTi = p3.fft_x_epilogue_packed(
-                Gzr, Gzi, Tr[None], Ti[None], k0, k1, k2, m0, m1, m2,
-                "div", self.kappa)
-            dTr, dTi = p3.purify_plane0_dus(dTr, dTi)
+            dTr, dTi = self._nl_mul_epilogue_pk(
+                U, th[None], Tr[None], Ti[None], kargs, self.kappa)
             return (jnp.concatenate([dUr, dTr]),
                     jnp.concatenate([dUi, dTi]))
         F = jnp.stack([U[1] * W[2] - U[2] * W[1],

@@ -134,9 +134,7 @@ class MHD3D(SpectralSolver):
         B = self._bwd_pk((Br, Bi))
         W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)   # ω = ifft(iK×û)
         J = self._curl_bwd_pk(Br, Bi, k0, k1, k2)   # j = ifft(iK×b̂)
-        from ..ops.pallas_fft3d import cross_zy_ok
-        if getattr(self, "_nl_fused", False) and \
-                cross_zy_ok(U.shape[2], U.shape[3], two=True):
+        if self._nl_any_fused:
             kargs = (k0, k1, k2, m0, m1, m2)
             # momentum: project(fft(U×W + J×B)) − νk²û; the two crosses sum
             # inside ONE z/y kernel (four physical stacks in, one pair out)

@@ -153,24 +153,59 @@ class SpectralSolver:
                 and p3.supported_c2c(int(self.FFT.N[0])))
         except Exception:
             self._curl_fused = False
-        # serial fast path for the whole nonlinear term: cross product +
-        # z/y forward in one kernel, x-forward + mask + projection/curl +
-        # diffusion in a second (the F field and the pre-projection spectrum
-        # never touch HBM); plane-0 purify is a column update afterwards
+        # fast path for the whole nonlinear term: cross product + z/y forward
+        # in one kernel, x-forward + mask + projection/curl + diffusion in a
+        # second (the F field and the pre-projection spectrum never touch
+        # HBM); plane-0 purify is a column update afterwards.  Serial at
+        # P==1; at P>1 the same kernels run shard-locally around the single
+        # 1D transpose (slab any P, pencil P2==1 — FFT.nl_forward_epilogue_fn)
         N = [int(n) for n in self.FFT.N]
         self._nl_fused = (
             getattr(self, "_curl_fused", False)
             and p3.fft_x_epilogue_ok(N[0]))
+        self._nl_fused_dist = False
+        if not self._nl_fused:
+            try:
+                self._nl_fused_dist = self.FFT._nl_dist_ok(self.dealias)
+            except Exception:
+                self._nl_fused_dist = False
+
+    @property
+    def _nl_any_fused(self):
+        return (getattr(self, "_nl_fused", False)
+                or getattr(self, "_nl_fused_dist", False))
+
+    def _nl_dist_plan(self, mode, visc, op, ri):
+        key = (mode, float(visc), op, None if ri is None else float(ri))
+        plans = getattr(self, "_nl_dist_plans", None)
+        if plans is None:
+            plans = self._nl_dist_plans = {}
+        fn = plans.get(key)
+        if fn is None:
+            fn = plans[key] = self.FFT.nl_forward_epilogue_fn(
+                mode, visc, op=op, ri=ri, dealias=self.dealias)
+        return fn
 
     def _nl_fwd_epilogue_pk(self, A, B, Sr, Si, kargs, mode, visc,
                             C=None, D=None, buoy=None):
         """Fused  purify(mask·epilogue(fft(A×B [+ C×D]))) − visc·k²·S  on the
-        serial packed path (requires self._nl_fused).  The cross product
-        rides the z/y forward kernel when its 3-components-per-block VMEM
-        budget fits (256³-class); larger grids (512³) cross in XLA but still
-        get the fused x-stage epilogue."""
+        packed layout (requires self._nl_any_fused).  The cross product rides
+        the z/y forward kernel when its VMEM gate passes (one-shot at
+        256³-class, z-tiled accumulating at 512³-class); otherwise it crosses
+        in XLA but still gets the fused x-stage epilogue.  At P>1 the same
+        composition runs shard-locally around the distributed transpose."""
         from ..ops import pallas_fft3d as p3
         k0, k1, k2, m0, m1, m2 = kargs
+        if not getattr(self, "_nl_fused", False):   # distributed fused path
+            op = "cross2" if C is not None else "cross"
+            extra, ri = (), None
+            if buoy is not None:
+                tr, ti, ri = buoy
+                extra = (tr, ti)
+            fn = self._nl_dist_plan(mode, visc, op, ri)
+            args = (A, B) + ((C, D) if C is not None else ()) + extra \
+                + (Sr, Si, k0, k1, k2, m0, m1, m2)
+            return fn(*args)
         n1, n2 = A.shape[2], A.shape[3]
         if p3.cross_zy_ok(n1, n2, C is not None):
             Fzr, Fzi = p3.cross_rfft_zy_packed(A, B, C, D)
@@ -185,6 +220,23 @@ class SpectralSolver:
             Fzr, Fzi = self._zy_fwd_pk(F)
         dr, di = p3.fft_x_epilogue_packed(Fzr, Fzi, Sr, Si, k0, k1, k2,
                                           m0, m1, m2, mode, visc, buoy=buoy)
+        return p3.purify_plane0_dus(dr, di)
+
+    def _nl_mul_epilogue_pk(self, A, t, Sr, Si, kargs, visc):
+        """Scalar-flux mirror of _nl_fwd_epilogue_pk:
+        purify(mask·(−ik·fft(A·t))) − visc·k²·S  (mode="div", 1-stack S) —
+        the Boussinesq advection term, serial or distributed."""
+        from ..ops import pallas_fft3d as p3
+        k0, k1, k2, m0, m1, m2 = kargs
+        if not getattr(self, "_nl_fused", False):   # distributed fused path
+            fn = self._nl_dist_plan("div", visc, "mul", None)
+            return fn(A, t, Sr, Si, k0, k1, k2, m0, m1, m2)
+        if p3.cross_zy_ok(A.shape[2], A.shape[3]):
+            Gzr, Gzi = p3.mul_rfft_zy_packed(A, t)
+        else:
+            Gzr, Gzi = self._zy_fwd_pk(A * t)
+        dr, di = p3.fft_x_epilogue_packed(Gzr, Gzi, Sr, Si, k0, k1, k2,
+                                          m0, m1, m2, "div", visc)
         return p3.purify_plane0_dus(dr, di)
 
     def _zy_fwd_pk(self, F):
@@ -464,7 +516,7 @@ class NavierStokes3D(SpectralSolver):
         # fused curl+x-IFFT kernel on the serial path (_curl_bwd_pk).
         U = self._bwd_pk((Ur, Ui))               # (3, N0, N1, N2), batched
         W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
-        if getattr(self, "_nl_fused", False):
+        if self._nl_any_fused:
             # cross product + forward + projection + viscous term in two
             # kernels; F = U×W and the pre-projection F̂ never touch HBM
             dUr, dUi = self._nl_fwd_epilogue_pk(

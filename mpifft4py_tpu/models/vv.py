@@ -102,7 +102,7 @@ class VorticityVelocity3D(SpectralSolver):
         # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
         U = self._curl_bwd_pk(Wr, Wi, k0, k1, k2, biot_savart=True)
         W = self._bwd_pk((Wr, Wi))
-        if getattr(self, "_nl_fused", False):
+        if self._nl_any_fused:
             # dω̂ = mask·(iK×fft(U×W)) − νk²ω̂ in two fused kernels
             return self._nl_fwd_epilogue_pk(
                 U, W, Wr, Wi, (k0, k1, k2, m0, m1, m2), "curl", self.nu)

@@ -1095,9 +1095,10 @@ def _cross_zy_kernel(r, m, two, *refs):
         oi_ref[c, 0] = yi
 
 
-def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
-    """VMEM gate: blocks hold all 3 components of every operand (the cross
-    mixes them), so the budget is 3× fused_zy_fwd's — 256³ fits, 512³ not."""
+def _cross_zy_oneshot_ok(n1: int, n2: int, two: bool = False) -> bool:
+    """VMEM gate for the one-shot kernel: blocks hold all 3 components of
+    every operand (the cross mixes them), so the budget is 3× fused_zy_fwd's
+    — 256³ fits, 512³ falls to the accumulating variant below."""
     if (n2 // 2) % 128 != 0:
         return False
     r, m = _factor(n1)
@@ -1105,6 +1106,169 @@ def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
     vmem = (nin * 3 * n1 * n2 + 2 * 3 * n1 * (n2 // 2)) * 2 * 4 \
         + (2 * n2 * (n2 // 2) + 2 * m * m) * 4
     return r <= 4 and m >= 64 and vmem < 13 * 1024 * 1024
+
+
+def _pick_tk_acc(n1: int, n2: int, nin: int):
+    """z-contraction lane tile for the accumulating cross/mul+zy kernel, or
+    None if no tile fits.  Resident: the (3, n1, h) output pair used as the
+    accumulator (×2 buffers at the i boundary), the y-stage value
+    temporaries (~8 planes measured-class bound), double-buffered input and
+    DFT-matrix tiles.  ``nin`` counts input FIELDS per grid step (cross 6,
+    cross+cross 12, mul 4)."""
+    h = n2 // 2
+    if h % 128 != 0:
+        return None
+    r, m = _factor(n1)
+    if r > 4 or m < 64:
+        return None
+    budget = 13 * 1024 * 1024
+    fixed = (2 * 3 * n1 * h * 2 + 5 * n1 * h + 2 * m * m) * 4
+    for tk in (256, 128):          # Mosaic lane blocks: multiples of 128
+        if n2 % tk:
+            continue
+        if fixed + (nin * n1 * tk + 2 * tk * h) * 2 * 4 <= budget:
+            return tk
+    return None
+
+
+def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
+    """True when SOME fused cross+z/y kernel serves (n1, n2) planes: the
+    one-shot kernel (256³-class) or the z-tiled accumulating kernel
+    (512³-class)."""
+    return (_cross_zy_oneshot_ok(n1, n2, two)
+            or _pick_tk_acc(n1, n2, 12 if two else 6) is not None)
+
+
+def _cross_zy_acc_kernel(r, m, K, op, *refs):
+    if op == "cross2":
+        a_ref, b_ref, c_ref, d_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        a_ref, b_ref = refs[:2]
+        rest = refs[2:]
+    A_ref, Bm_ref, wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref = rest
+    k = pl.program_id(1)
+
+    # Everything below runs inside fori_loops (not unrolled python loops):
+    # Mosaic allocates the unrolled copies' temporaries SIMULTANEOUSLY on the
+    # scoped-VMEM stack (measured 21.8 MB > the 16 MB limit at 512-class
+    # planes); a loop body allocates once and reuses.  Mosaic also cannot
+    # lower dynamic_slice on VALUES, so the dynamic component index c
+    # addresses REFS only (operand reads, output accumulator writes).
+    def _cross_at(c):
+        if op == "mul":
+            return a_ref[pl.ds(c, 1)][0, 0] * b_ref[0, 0]
+        c1 = lax.rem(c + 1, 3)
+        c2 = lax.rem(c + 2, 3)
+        f = (a_ref[pl.ds(c1, 1)][0, 0] * b_ref[pl.ds(c2, 1)][0, 0]
+             - a_ref[pl.ds(c2, 1)][0, 0] * b_ref[pl.ds(c1, 1)][0, 0])
+        if op == "cross2":
+            f = f + (c_ref[pl.ds(c1, 1)][0, 0] * d_ref[pl.ds(c2, 1)][0, 0]
+                     - c_ref[pl.ds(c2, 1)][0, 0] * d_ref[pl.ds(c1, 1)][0, 0])
+        return f
+
+    def _acc(c, _):
+        fc = _cross_at(c)
+        pr = _dot(fc, A_ref[...])[None, None]
+        pi = _dot(fc, Bm_ref[...])[None, None]
+
+        @pl.when(k == 0)
+        def _():
+            or_ref[pl.ds(c, 1)] = pr
+            oi_ref[pl.ds(c, 1)] = pi
+
+        @pl.when(k != 0)
+        def _():
+            or_ref[pl.ds(c, 1)] += pr
+            oi_ref[pl.ds(c, 1)] += pi
+        return 0
+
+    jax.lax.fori_loop(0, 3, _acc, 0)
+
+    @pl.when(k == K - 1)                   # z contraction complete: y-FFT
+    def _():
+        def _yfft(c, _):
+            xr = or_ref[pl.ds(c, 1)][0, 0]
+            xi = oi_ref[pl.ds(c, 1)][0, 0]
+            TQ = xr.shape[-1]
+            Er, Ei = [], []
+            for q in range(r):
+                sr = xr.reshape(m, r, TQ)[:, q, :] if r > 1 else xr
+                si = xi.reshape(m, r, TQ)[:, q, :] if r > 1 else xi
+                er, ei = _karatsuba(wr_ref[...], wi_ref[...], sr, si)
+                Er.append(er)
+                Ei.append(ei)
+            if r == 1:
+                or_ref[pl.ds(c, 1)] = Er[0][None, None]
+                oi_ref[pl.ds(c, 1)] = Ei[0][None, None]
+                return 0
+
+            # combine rows [p·m, (p+1)·m) written straight to the output ref
+            # (in place: the whole input was consumed into E_q above) — the
+            # _factored_vals outs-list + concat temporaries don't fit here
+            def _combine(p, _):
+                accr = acci = None
+                for q in range(r):
+                    row = (p * r + q) * m
+                    crv = cr_ref[pl.ds(row, m)]
+                    civ = ci_ref[pl.ds(row, m)]
+                    tr = crv * Er[q] - civ * Ei[q]
+                    ti = crv * Ei[q] + civ * Er[q]
+                    accr = tr if accr is None else accr + tr
+                    acci = ti if acci is None else acci + ti
+                or_ref[pl.ds(c, 1), :, pl.ds(p * m, m)] = accr[None, None]
+                oi_ref[pl.ds(c, 1), :, pl.ds(p * m, m)] = acci[None, None]
+                return 0
+
+            jax.lax.fori_loop(0, r, _combine, 0)
+            return 0
+
+        jax.lax.fori_loop(0, 3, _yfft, 0)
+
+
+def _cross_rfft_zy_acc(ins, op):
+    """z-tiled accumulating variant of the fused cross/mul+z/y forward for
+    plane sizes whose full operand set exceeds VMEM (512³-class).  The grid
+    is (N0, N2/tk): each step crosses/multiplies a z-tile of the operands and
+    accumulates its partial z-DFT into the resident output pair; the y-FFT
+    runs in-place on the final step.  Same HBM traffic as the one-shot
+    kernel, plus re-streaming the (N2, h) DFT matrices once per x-slab."""
+    nin = {"cross": 6, "cross2": 12, "mul": 4}[op]
+    _, N0, N1, N2 = ins[0].shape
+    h = N2 // 2
+    tk = _pick_tk_acc(N1, N2, nin)
+    assert tk is not None, (N1, N2, op)
+    K = N2 // tk
+    r, m = _factor(N1)
+    A, Bm = _packed_rdft_cs(N2)
+    wr, wi = _dft_cs(m, -1)
+    cr, ci = _combine_cs(N1, r, m, -1)
+    bx = lambda nc: pl.BlockSpec((nc, 1, N1, tk), lambda i, k: (0, i, 0, k),
+                                 memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((3, 1, N1, h), lambda i, k: (0, i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bA = pl.BlockSpec((tk, h), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda i, k: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
+    in_specs = [bx(x.shape[0]) for x in ins] \
+        + [bA, bA, c2((m, m)), c2((m, m)),
+           c2((r * r * m, 1)), c2((r * r * m, 1))]
+    fn = pl.pallas_call(
+        partial(_cross_zy_acc_kernel, r, m, K, op),
+        grid=(N0, K),
+        in_specs=in_specs,
+        out_specs=[bo, bo],
+        out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * N0 * N1 * (2 * N2 * h + 3 * m * m * r)
+            + nin * N0 * N1 * N2,
+            bytes_accessed=(nin * N0 * N1 * N2 + 2 * 3 * N0 * N1 * h
+                            + 2 * N0 * N2 * h) * 4,
+            transcendentals=0),
+    )
+    return fn(*[x.astype(jnp.float32) for x in ins],
+              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
+              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
 
 
 def cross_rfft_zy_packed(a, b, c=None, d=None):
@@ -1115,7 +1279,9 @@ def cross_rfft_zy_packed(a, b, c=None, d=None):
     two = c is not None
     _, N0, N1, N2 = a.shape
     h = N2 // 2
-    assert cross_zy_ok(N1, N2, two), (N1, N2, two)
+    if not _cross_zy_oneshot_ok(N1, N2, two):
+        return _cross_rfft_zy_acc([a, b, c, d] if two else [a, b],
+                                  "cross2" if two else "cross")
     r, m = _factor(N1)
     A, Bm = _packed_rdft_cs(N2)
     wr, wi = _dft_cs(m, -1)
@@ -1284,7 +1450,8 @@ def mul_rfft_zy_packed(a, t):
     never materialises in HBM (Boussinesq scalar advection)."""
     _, N0, N1, N2 = a.shape
     h = N2 // 2
-    assert cross_zy_ok(N1, N2), (N1, N2)
+    if not _cross_zy_oneshot_ok(N1, N2):
+        return _cross_rfft_zy_acc([a, t], "mul")
     r, m = _factor(N1)
     A, Bm = _packed_rdft_cs(N2)
     wr, wi = _dft_cs(m, -1)

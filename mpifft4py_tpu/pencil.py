@@ -336,6 +336,14 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
             return P(None, (AXIS1, AXIS2), None)
         return self.complex_spec()
 
+    def _nl_dist_ok(self, dealias) -> bool:
+        # the wide (P2 > 1) choreography has no fused nonlinear tier (its
+        # x stage rides the joint-group transpose); P2 == 1 collapses to
+        # the slab 1D pipeline and inherits the fused path
+        if self.P2 > 1:
+            return False
+        return _PackedDist1D._nl_dist_ok(self, dealias)
+
     def _stage_joint(self, x, axes, split_axis, concat_axis,
                      work_fn=None, *, pipeline_axis, pre_fn=None):
         """Transpose stage over the JOINT (P1×P2) group.  rdma kernels

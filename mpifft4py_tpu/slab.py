@@ -209,6 +209,87 @@ class _PackedDist1D:
         """PartitionSpec of each planar member of the packed spectral pair."""
         return self.complex_spec()
 
+    # -- fused nonlinear forward + epilogue (DNS fast path, distributed) ------
+
+    def _nl_dist_ok(self, dealias) -> bool:
+        """Gate for ``nl_forward_epilogue_fn``: the 1D-transpose packed
+        choreography (slab at any P; pencil P2==1 — the wide P2>1 layout
+        overrides this off) with the x-epilogue kernel available."""
+        from .ops import pallas_fft3d as p3
+        try:
+            if not self._packed_iface_ok(dealias):
+                return False
+        except Exception:
+            return False
+        return dealias == "2/3-rule" and p3.fft_x_epilogue_ok(int(self.N[0]))
+
+    def nl_forward_epilogue_fn(self, mode: str, visc: float, op: str = "cross",
+                               ri=None, dealias="2/3-rule"):
+        """The solver RHS's whole nonlinear forward on the DISTRIBUTED packed
+        layout, fused (the multi-chip mirror of the serial two-kernel path —
+        models.SpectralSolver._nl_fwd_epilogue_pk): shard-local cross/mul +
+        packed z/y forward (the Pallas fused kernels when their VMEM gates
+        pass, an XLA cross otherwise), the planar pair across the single 1D
+        transpose, then the x-FFT + 2/3-rule mask + spectral epilogue +
+        diffusive term in one kernel using the shard's LOCAL k1/m1 slice;
+        plane-0 purification of the increment is the distributed k2=0-column
+        flip-conj.  Returns a shard_map'd fn
+            (A, B[, C, D][, Tr, Ti], Sr, Si, k0, k1, k2, m0, m1, m2)
+              -> (dr, di)
+        with A/B/C/D physical 3-stacks (B a (1,…) scalar field for op="mul"),
+        (Sr, Si) the packed state carrying the −visc·k²·S term (3-stack, or
+        1-stack for mode="div"), (Tr, Ti) the buoyancy rider pair (ri set),
+        and GLOBAL 1-D wavenumber/mask vectors (shard_map slices k1/m1)."""
+        from .ops import pallas_fft3d as p3
+        assert self._nl_dist_ok(dealias), (mode, op, dealias)
+        two = op == "cross2"
+        mul = op == "mul"
+
+        def local(*xs):
+            if two:
+                a, b, c, d, *xs = xs
+            else:
+                (a, b), xs = xs[:2], xs[2:]
+                c = d = None
+            if ri is not None:
+                (tr, ti), xs = xs[:2], xs[2:]
+            sr, si, k0, k1, k2, m0, m1, m2 = xs
+            n1, n2 = a.shape[-2], a.shape[-1]
+            if mul and p3.cross_zy_ok(n1, n2):
+                fzr, fzi = p3.mul_rfft_zy_packed(a, b)
+            elif not mul and p3.cross_zy_ok(n1, n2, two):
+                fzr, fzi = p3.cross_rfft_zy_packed(a, b, c, d)
+            else:
+                if mul:
+                    F = a * b
+                else:
+                    F = jnp.stack([a[1] * b[2] - a[2] * b[1],
+                                   a[2] * b[0] - a[0] * b[2],
+                                   a[0] * b[1] - a[1] * b[0]])
+                    if two:
+                        F = F + jnp.stack([c[1] * d[2] - c[2] * d[1],
+                                           c[2] * d[0] - c[0] * d[2],
+                                           c[0] * d[1] - c[1] * d[0]])
+                fzr, fzi = self._packed_zy_fwd(F)
+            fzr, fzi = self._stage((fzr, fzi), self._dist_axis, 2, 1,
+                                   pipeline_axis=3)
+            dr, di = p3.fft_x_epilogue_packed(
+                fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2, mode, visc,
+                buoy=(tr, ti, ri) if ri is not None else None)
+            qr, qi = dr[..., 0], di[..., 0]
+            cr2, ci2 = self._flipconj_plane_dist(qr, qi)
+            return (dr.at[..., 0].set(0.5 * (qr + cr2)),
+                    di.at[..., 0].set(0.5 * (qi + ci2)))
+
+        rs, ss = self.real_spec(), self._packed_spec()
+        phys, spec = P(None, *rs), P(None, *ss)
+        kv = lambda i: P(ss[i])
+        in_specs = [phys, phys] + ([phys, phys] if two else []) \
+            + ([spec, spec] if ri is not None else []) \
+            + [spec, spec, kv(0), kv(1), kv(2), kv(0), kv(1), kv(2)]
+        return self._smap(local, in_specs=tuple(in_specs),
+                          out_specs=(spec, spec))
+
     def _fwd_local_packed(self, u, dealias):
         yr, yi = self._packed_zy_fwd(u)
         yr, yi = self._packed_x_fwd(yr, yi)

@@ -265,3 +265,43 @@ def test_nl_fused_rhs_matches_generic(rng, model):
     scale = np.abs(np.asarray(generic[0])).max()
     for g, f in zip(generic, fused):
         assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("model", ["ns", "vv", "mhd", "bq"])
+def test_nl_fused_dist_rhs_matches_generic(rng, model):
+    """The DISTRIBUTED fused nonlinear path (shard-local cross+z/y kernels,
+    pair across the 1D transpose, x-FFT+mask+epilogue with the local k1/m1
+    slice — FFT.nl_forward_epilogue_fn) == the generic packed RHS on a P=4
+    slab mesh.  The serial mirror is test_nl_fused_rhs_matches_generic."""
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+    from mpifft4py_tpu.models.vv import VorticityVelocity3D
+    from mpifft4py_tpu.models.mhd import MHD3D
+
+    shape = (16, 64, 256)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    kw = dict(nu=0.01, dt=0.001, dealias="2/3-rule", spectral_layout="packed")
+    if model == "ns":
+        s = NavierStokes3D(FFT, **kw)
+    elif model == "vv":
+        s = VorticityVelocity3D(FFT, **kw)
+    elif model == "bq":
+        from mpifft4py_tpu.models.boussinesq import Boussinesq3D
+        s = Boussinesq3D(FFT, kappa=0.005, Ri=0.5, **kw)
+    else:
+        s = MHD3D(FFT, eta=0.02, **kw)
+    assert not s._nl_fused and s._nl_fused_dist
+    nc = {"ns": 3, "vv": 3, "bq": 4, "mhd": 6}[model]
+    U = jnp.asarray(rng.standard_normal((nc,) + shape).astype(np.float32))
+    if nc == 3:
+        S = s._fwd_pk(U)
+    else:
+        a, b = s._fwd_pk(U[:3])
+        c, d = s._fwd_pk(U[3:])
+        S = (jnp.concatenate([a, c]), jnp.concatenate([b, d]))
+    kargs = s._packed_arrays()
+    fused = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    s._nl_fused_dist = False
+    generic = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    scale = np.abs(np.asarray(generic[0])).max()
+    for g, f in zip(generic, fused):
+        assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale

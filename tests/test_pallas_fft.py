@@ -175,3 +175,38 @@ def test_curl_irfft3d_packed_matches_unfused(rng):
     refu = np.fft.irfftn(cu / np.where(ksq == 0, 1, ksq),
                          s=(N0, N1, N2), axes=(1, 2, 3))
     assert np.abs(U - refu).max() / np.abs(refu).max() < 2e-6
+
+
+def test_cross_zy_acc_matches_oneshot_path(rng):
+    """The z-tiled ACCUMULATING cross/mul+zy kernel (512³-class planes whose
+    full operand set exceeds VMEM) == the XLA cross + fused_zy_fwd chain.
+    Plane (512, 512) forces the acc route (one-shot gate False); N0 kept
+    small for interpret-mode runtime."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+    shape = (2, 512, 512)
+    a = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1,) + shape).astype(np.float32))
+
+    def cross(x, y):
+        return jnp.stack([x[1] * y[2] - x[2] * y[1],
+                          x[2] * y[0] - x[0] * y[2],
+                          x[0] * y[1] - x[1] * y[0]])
+
+    with pltpu.force_tpu_interpret_mode():
+        assert not p3._cross_zy_oneshot_ok(512, 512)
+        assert p3.cross_zy_ok(512, 512)          # served by the acc kernel
+        assert p3._pick_tk_acc(512, 512, 12) is None  # MHD stays XLA at 512
+        rr, ri = p3.fused_zy_fwd(cross(a, b))
+        yr, yi = p3.cross_rfft_zy_packed(a, b)
+        s = np.abs(np.asarray(rr)).max()
+        assert np.abs(np.asarray(yr) - np.asarray(rr)).max() < 1e-5 * s
+        assert np.abs(np.asarray(yi) - np.asarray(ri)).max() < 1e-5 * s
+        rr, ri = p3.fused_zy_fwd(a * t)
+        yr, yi = p3.mul_rfft_zy_packed(a, t)
+        s = np.abs(np.asarray(rr)).max()
+        assert np.abs(np.asarray(yr) - np.asarray(rr)).max() < 1e-5 * s
+        assert np.abs(np.asarray(yi) - np.asarray(ri)).max() < 1e-5 * s
