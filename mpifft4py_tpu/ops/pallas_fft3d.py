@@ -1123,6 +1123,8 @@ def _pick_tk_acc(n1: int, n2: int, nin: int):
         return None
     budget = 13 * 1024 * 1024
     fixed = (2 * 3 * n1 * h * 2 + 5 * n1 * h + 2 * m * m) * 4
+    if _mm_mode() == "bf16x3":
+        fixed += 4 * n1 * h * 4       # hi/lo-split matmul temporaries
     for tk in (256, 128):          # Mosaic lane blocks: multiples of 128
         if n2 % tk:
             continue
@@ -1363,10 +1365,24 @@ def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
             oi_ref[c] = kxc(Fr, c) - nu * ksq * si_ref[c]
 
 
-def fft_x_epilogue_ok(n0: int) -> bool:
-    """VMEM gate: 6 (3, n0, 128) blocks double-buffered + value temps."""
+def fft_x_epilogue_ok(n0: int, buoy: bool = False) -> bool:
+    """VMEM gate: 6 (3, n0, 128) blocks double-buffered + value temps; the
+    buoyancy rider adds two (1, n0, 128) blocks — measured to push the
+    512-class kernel from ~15.8 M (fits) to 16.85 M (scoped-VMEM OOM on
+    chip), hence the tighter threshold with ``buoy``.  Callers don't need to
+    check the buoy budget themselves: ``fft_x_epilogue_packed`` falls back to
+    kernel-without-buoy + an XLA projection-rider pass when it fails."""
     r, m = _factor(n0)
     vmem = 18 * n0 * 128 * 4 * 2 + 10 * n0 * 128 * 4 + 2 * m * m * 4
+    if _mm_mode() == "bf16x3":
+        # the manual hi/lo-split matmul's extra temporaries: measured
+        # 19.46 M vs ~15.8 M (HIGHEST) at n0=512 — +14 (n0, 128) planes.
+        # bf16x3 therefore gates the 512-class fused path OFF (it remains a
+        # 1024-class dense-z lever; BENCH.md)
+        vmem += 14 * n0 * 128 * 4
+    if buoy:
+        vmem += 4 * n0 * 128 * 4
+        return r <= 8 and m >= 8 and vmem < 25 * 512 * 1024   # 12.5 M
     return r <= 8 and m >= 8 and vmem < 14 * 1024 * 1024
 
 
@@ -1388,6 +1404,25 @@ def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
     assert sr.shape[0] == ns, (sr.shape, mode)
     r, m = _factor(N0)
     assert fft_x_epilogue_ok(N0), N0
+    if buoy is not None and not fft_x_epilogue_ok(N0, buoy=True):
+        # 512-class: the rider's two extra blocks overflow scoped VMEM
+        # (measured 16.85 M vs the 16 M limit).  Projection is linear, so run
+        # the kernel without the rider and add  Ri·P(θ̂·ê_z)  as an XLA
+        # elementwise pass:  P(θ̂ê_z)_c = θ̂·(δ_c2 − k_c·k2/k²).  θ̂ is state
+        # spectrum (already masked), matching the kernel's unmasked rider.
+        tr, ti, ri = buoy
+        yr, yi = fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2,
+                                       m0, m1, m2, mode, visc)
+        f32 = jnp.float32
+        K0 = k0.astype(f32)[:, None, None]
+        K1 = k1.astype(f32)[None, :, None]
+        K2 = k2.astype(f32)[None, None, :]
+        ksq = K0 * K0 + K1 * K1 + K2 * K2
+        inv = 1.0 / jnp.where(ksq == 0, 1.0, ksq)
+        coef = jnp.stack([-K0 * K2 * inv,
+                          -K1 * K2 * inv,
+                          1.0 - K2 * K2 * inv]) * f32(ri)
+        return yr + coef * tr, yi + coef * ti
     tq = 128 if ((N1 * h) % 128 == 0) else h
     postf = N1 * h
     assert postf % tq == 0
@@ -1480,6 +1515,96 @@ def mul_rfft_zy_packed(a, t):
     return fn(a.astype(jnp.float32), t.astype(jnp.float32),
               jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
               jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+
+
+def _cross_z_kernel(op, *refs):
+    if op == "cross2":
+        a_ref, b_ref, c_ref, d_ref, A_ref, Bm_ref, or_ref, oi_ref = refs
+    else:
+        a_ref, b_ref, A_ref, Bm_ref, or_ref, oi_ref = refs
+    if op == "mul":
+        t = b_ref[0]
+        f = [a_ref[0] * t, a_ref[1] * t, a_ref[2] * t]
+    else:
+        a0, a1, a2 = a_ref[0], a_ref[1], a_ref[2]
+        b0, b1, b2 = b_ref[0], b_ref[1], b_ref[2]
+        f = [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0]
+        if op == "cross2":
+            c0, c1, c2 = c_ref[0], c_ref[1], c_ref[2]
+            d0, d1, d2 = d_ref[0], d_ref[1], d_ref[2]
+            f[0] = f[0] + (c1 * d2 - c2 * d1)
+            f[1] = f[1] + (c2 * d0 - c0 * d2)
+            f[2] = f[2] + (c0 * d1 - c1 * d0)
+    for c in range(3):
+        or_ref[c] = _dot(f[c], A_ref[...])
+        oi_ref[c] = _dot(f[c], Bm_ref[...])
+
+
+def _crossz_pick_tr(nstk: int, n: int, R: int):
+    """Row tile for the cross/mul + z-only kernel (``nstk`` input field
+    planes per row: cross 6, cross+cross 12, mul 4; + the output pair),
+    double-buffered, with the (n × h) DFT matrix pair resident; or None."""
+    h = n // 2
+    budget = 10 * 1024 * 1024 - 2 * n * h * 4
+    per_tr = (nstk * n + 2 * 3 * h) * 4 * 2 + 3 * (n + 2 * h) * 4
+    for tr in (512, 256, 128, 64, 32, 16, 8):
+        if tr <= R and R % tr == 0 and per_tr * tr <= budget:
+            return tr
+    return None
+
+
+def cross_z_ok(n2: int, R: int, two: bool = False, mul: bool = False) -> bool:
+    if (n2 // 2) % 128 != 0:
+        return False
+    nstk = 4 if mul else (12 if two else 6)
+    return _crossz_pick_tr(nstk, n2, R) is not None
+
+
+def cross_rfft_z_packed(a, b, c=None, d=None):
+    """(A×B [+ C×D]) with ONLY the packed z-rfft fused behind it (no y
+    stage) — the shard-local first leg of the pencil WIDE fused nonlinear
+    path, where y is sharded and transforms after the P2 transpose.  Inputs
+    physical (3, …, N2); returns the packed planar pair (3, …, N2/2)."""
+    two = c is not None
+    return _cross_rfft_z(([a, b, c, d] if two else [a, b]),
+                         "cross2" if two else "cross")
+
+
+def mul_rfft_z_packed(a, t):
+    """(a_c·t) with only the packed z-rfft fused behind it — the wide-layout
+    scalar-flux mirror of cross_rfft_z_packed."""
+    return _cross_rfft_z([a, t], "mul")
+
+
+def _cross_rfft_z(ins, op):
+    n = ins[0].shape[-1]
+    h = n // 2
+    lead = ins[0].shape[1:-1]
+    R = int(np.prod(lead, dtype=np.int64))
+    nstk = {"cross": 6, "cross2": 12, "mul": 4}[op]
+    tr = _crossz_pick_tr(nstk, n, R)
+    assert tr is not None, (n, R, op)
+    A, Bm = _packed_rdft_cs(n)
+    xs = [x.astype(jnp.float32).reshape(x.shape[0], R, n) for x in ins]
+    bx = lambda nc: pl.BlockSpec((nc, tr, n), lambda q: (0, q, 0),
+                                 memory_space=pltpu.VMEM)
+    bo = pl.BlockSpec((3, tr, h), lambda q: (0, q, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((n, h), lambda q: (0, 0), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        partial(_cross_z_kernel, op),
+        grid=(R // tr,),
+        in_specs=[bx(x.shape[0]) for x in xs] + [c2, c2],
+        out_specs=[bo, bo],
+        out_shape=[jax.ShapeDtypeStruct((3, R, h), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * R * 2 * n * h + nstk * R * n,
+            bytes_accessed=(nstk * R * n + 2 * 3 * R * h) * 4,
+            transcendentals=0),
+    )
+    yr, yi = fn(*xs, jnp.asarray(A), jnp.asarray(Bm))
+    shp = (3,) + lead + (h,)
+    return yr.reshape(shp), yi.reshape(shp)
 
 
 def purify_plane0_dus(yr, yi):

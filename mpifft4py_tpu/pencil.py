@@ -337,12 +337,43 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
         return self.complex_spec()
 
     def _nl_dist_ok(self, dealias) -> bool:
-        # the wide (P2 > 1) choreography has no fused nonlinear tier (its
-        # x stage rides the joint-group transpose); P2 == 1 collapses to
-        # the slab 1D pipeline and inherits the fused path
+        # P2 == 1 collapses to the slab 1D pipeline and inherits the fused
+        # path unchanged; P2 > 1 rides the WIDE choreography with the hooks
+        # below (z-only fused cross, y after the P2 a2a, x-epilogue after
+        # the joint a2a)
         if self.P2 > 1:
-            return False
+            from .ops import pallas_fft3d as p3
+            return (dealias == "2/3-rule" and self._packed_wide_ok(dealias)
+                    and p3.fft_x_epilogue_ok(int(self.N[0])))
         return _PackedDist1D._nl_dist_ok(self, dealias)
+
+    def _nl_pair_pre_x(self, a, b, c, d, op):
+        """WIDE-layout leg of the fused nonlinear forward: the y axis is
+        sharded in physical space, so only the z-rfft fuses behind the
+        shard-local cross (cross_rfft_z_packed); y transforms as the P2
+        stage's work_fn and x waits for the joint transpose (the epilogue
+        kernel transforms it)."""
+        if self.P2 == 1:
+            return _PackedDist1D._nl_pair_pre_x(self, a, b, c, d, op)
+        from .ops import pallas_fft3d as p3
+        mul, two = op == "mul", op == "cross2"
+        R = a.shape[1] * a.shape[2]
+        n2 = a.shape[-1]
+        if p3.cross_z_ok(n2, R, two=two, mul=mul):
+            fzr, fzi = (p3.mul_rfft_z_packed(a, b) if mul
+                        else p3.cross_rfft_z_packed(a, b, c, d))
+        else:
+            fzr, fzi = p3.rfft_last_packed(self._xla_cross(a, b, c, d, op))
+        pair = self._stage((fzr, fzi), AXIS2, 1, 2,
+                           lambda t: p3.fft_axis_planar(t[0], t[1], axis=2),
+                           pipeline_axis=3)
+        return self._stage_joint(pair, (AXIS1, AXIS2), 2, 1,
+                                 pipeline_axis=3)
+
+    def _nl_purify(self, dr, di):
+        if self.P2 == 1:
+            return _PackedDist1D._nl_purify(self, dr, di)
+        return self._purify_plane0_wide(dr, di)
 
     def _stage_joint(self, x, axes, split_axis, concat_axis,
                      work_fn=None, *, pipeline_axis, pre_fn=None):

@@ -251,35 +251,15 @@ class _PackedDist1D:
             else:
                 (a, b), xs = xs[:2], xs[2:]
                 c = d = None
+            tr = ti = None
             if ri is not None:
                 (tr, ti), xs = xs[:2], xs[2:]
             sr, si, k0, k1, k2, m0, m1, m2 = xs
-            n1, n2 = a.shape[-2], a.shape[-1]
-            if mul and p3.cross_zy_ok(n1, n2):
-                fzr, fzi = p3.mul_rfft_zy_packed(a, b)
-            elif not mul and p3.cross_zy_ok(n1, n2, two):
-                fzr, fzi = p3.cross_rfft_zy_packed(a, b, c, d)
-            else:
-                if mul:
-                    F = a * b
-                else:
-                    F = jnp.stack([a[1] * b[2] - a[2] * b[1],
-                                   a[2] * b[0] - a[0] * b[2],
-                                   a[0] * b[1] - a[1] * b[0]])
-                    if two:
-                        F = F + jnp.stack([c[1] * d[2] - c[2] * d[1],
-                                           c[2] * d[0] - c[0] * d[2],
-                                           c[0] * d[1] - c[1] * d[0]])
-                fzr, fzi = self._packed_zy_fwd(F)
-            fzr, fzi = self._stage((fzr, fzi), self._dist_axis, 2, 1,
-                                   pipeline_axis=3)
+            fzr, fzi = self._nl_pair_pre_x(a, b, c, d, op)
             dr, di = p3.fft_x_epilogue_packed(
                 fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2, mode, visc,
                 buoy=(tr, ti, ri) if ri is not None else None)
-            qr, qi = dr[..., 0], di[..., 0]
-            cr2, ci2 = self._flipconj_plane_dist(qr, qi)
-            return (dr.at[..., 0].set(0.5 * (qr + cr2)),
-                    di.at[..., 0].set(0.5 * (qi + ci2)))
+            return self._nl_purify(dr, di)
 
         rs, ss = self.real_spec(), self._packed_spec()
         phys, spec = P(None, *rs), P(None, *ss)
@@ -289,6 +269,46 @@ class _PackedDist1D:
             + [spec, spec, kv(0), kv(1), kv(2), kv(0), kv(1), kv(2)]
         return self._smap(local, in_specs=tuple(in_specs),
                           out_specs=(spec, spec))
+
+    @staticmethod
+    def _xla_cross(a, b, c, d, op):
+        """XLA fallback for the shard-local cross/mul when the fused Pallas
+        kernels' VMEM gates fail."""
+        if op == "mul":
+            return a * b
+        F = jnp.stack([a[1] * b[2] - a[2] * b[1],
+                       a[2] * b[0] - a[0] * b[2],
+                       a[0] * b[1] - a[1] * b[0]])
+        if op == "cross2":
+            F = F + jnp.stack([c[1] * d[2] - c[2] * d[1],
+                               c[2] * d[0] - c[0] * d[2],
+                               c[0] * d[1] - c[1] * d[0]])
+        return F
+
+    def _nl_pair_pre_x(self, a, b, c, d, op):
+        """Shard-local cross/mul + packed z/y forward + the 1D transpose:
+        everything up to the pre-x-stage pair (3, N0, n1_local, h).  The
+        pencil WIDE layout overrides this with its z-only kernel + two-stage
+        choreography."""
+        from .ops import pallas_fft3d as p3
+        mul, two = op == "mul", op == "cross2"
+        n1, n2 = a.shape[-2], a.shape[-1]
+        if mul and p3.cross_zy_ok(n1, n2):
+            fzr, fzi = p3.mul_rfft_zy_packed(a, b)
+        elif not mul and p3.cross_zy_ok(n1, n2, two):
+            fzr, fzi = p3.cross_rfft_zy_packed(a, b, c, d)
+        else:
+            fzr, fzi = self._packed_zy_fwd(self._xla_cross(a, b, c, d, op))
+        return self._stage((fzr, fzi), self._dist_axis, 2, 1,
+                           pipeline_axis=3)
+
+    def _nl_purify(self, dr, di):
+        """Distributed plane-0 purify of the packed increment (k2=0-column
+        flip-conj average)."""
+        qr, qi = dr[..., 0], di[..., 0]
+        cr2, ci2 = self._flipconj_plane_dist(qr, qi)
+        return (dr.at[..., 0].set(0.5 * (qr + cr2)),
+                di.at[..., 0].set(0.5 * (qi + ci2)))
 
     def _fwd_local_packed(self, u, dealias):
         yr, yi = self._packed_zy_fwd(u)

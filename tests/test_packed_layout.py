@@ -305,3 +305,46 @@ def test_nl_fused_dist_rhs_matches_generic(rng, model):
     scale = np.abs(np.asarray(generic[0])).max()
     for g, f in zip(generic, fused):
         assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("model", ["ns", "vv", "mhd", "bq"])
+def test_nl_fused_wide_rhs_matches_generic(rng, model):
+    """The WIDE (pencil P2>1) fused nonlinear path — shard-local cross/mul
+    with only the z-rfft fused behind it (cross_rfft_z_packed), y as the
+    P2-stage work_fn, x-FFT+mask+epilogue after the joint transpose, wide
+    plane-0 purify (pencil._nl_pair_pre_x/_nl_purify) == the generic packed
+    RHS on a 2x2 pencil mesh."""
+    from mpifft4py_tpu import pencil
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+    from mpifft4py_tpu.models.vv import VorticityVelocity3D
+    from mpifft4py_tpu.models.mhd import MHD3D
+
+    shape = (16, 16, 256)
+    FFT = pencil.R2C(np.array(shape), np.array([TAU] * 3), 4, "single", P1=2)
+    assert FFT.P2 > 1
+    kw = dict(nu=0.01, dt=0.001, dealias="2/3-rule", spectral_layout="packed")
+    if model == "ns":
+        s = NavierStokes3D(FFT, **kw)
+    elif model == "vv":
+        s = VorticityVelocity3D(FFT, **kw)
+    elif model == "bq":
+        from mpifft4py_tpu.models.boussinesq import Boussinesq3D
+        s = Boussinesq3D(FFT, kappa=0.005, Ri=0.5, **kw)
+    else:
+        s = MHD3D(FFT, eta=0.02, **kw)
+    assert not s._nl_fused and s._nl_fused_dist
+    nc = {"ns": 3, "vv": 3, "bq": 4, "mhd": 6}[model]
+    U = jnp.asarray(rng.standard_normal((nc,) + shape).astype(np.float32))
+    if nc == 3:
+        S = s._fwd_pk(U)
+    else:
+        a, b = s._fwd_pk(U[:3])
+        c, d = s._fwd_pk(U[3:])
+        S = (jnp.concatenate([a, c]), jnp.concatenate([b, d]))
+    kargs = s._packed_arrays()
+    fused = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    s._nl_fused_dist = False
+    generic = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    scale = np.abs(np.asarray(generic[0])).max()
+    for g, f in zip(generic, fused):
+        assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale

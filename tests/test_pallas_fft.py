@@ -210,3 +210,73 @@ def test_cross_zy_acc_matches_oneshot_path(rng):
         s = np.abs(np.asarray(rr)).max()
         assert np.abs(np.asarray(yr) - np.asarray(rr)).max() < 1e-5 * s
         assert np.abs(np.asarray(yi) - np.asarray(ri)).max() < 1e-5 * s
+
+
+def test_fft_x_epilogue_buoy_fallback_matches_reference(rng):
+    """At 512-class N0 the buoyancy rider's two extra blocks overflow scoped
+    VMEM; ``fft_x_epilogue_packed`` must fall back to kernel-without-buoy +
+    an XLA Ri·P(θ̂ê_z) pass (projection is linear).  N0=576 passes the base
+    gate but fails the buoy gate — the fallback composition is checked
+    against a dense complex reference of the full buoyant epilogue."""
+    N0, N1, h = 576, 4, 128
+    assert p3.fft_x_epilogue_ok(N0) and not p3.fft_x_epilogue_ok(N0, buoy=True)
+    assert p3.fft_x_epilogue_ok(256, buoy=True)   # 256-class keeps the kernel
+
+    f = (rng.standard_normal((3, N0, N1, h))
+         + 1j * rng.standard_normal((3, N0, N1, h)))
+    S = (rng.standard_normal((3, N0, N1, h))
+         + 1j * rng.standard_normal((3, N0, N1, h)))
+    T = (rng.standard_normal((1, N0, N1, h))
+         + 1j * rng.standard_normal((1, N0, N1, h)))
+    k0 = np.fft.fftfreq(N0, 1.0 / N0)
+    k1 = np.arange(N1, dtype=np.float64)
+    k2 = np.arange(h, dtype=np.float64)
+    m0 = (np.abs(k0) < N0 / 3).astype(np.float64)
+    m1 = np.ones(N1)
+    m2 = (k2 < h / 2).astype(np.float64)
+    Ri, visc = 0.7, 0.02
+
+    # dense reference: x-FFT, mask, +Ri·θ̂ê_z, Leray projection, −νk²S
+    F = np.fft.fft(f, axis=1)
+    F *= (m0[:, None, None] * m1[None, :, None] * m2[None, None, :])
+    F[2] += Ri * T[0]
+    K = [k0[:, None, None], k1[None, :, None], k2[None, None, :]]
+    ksq = K[0] ** 2 + K[1] ** 2 + K[2] ** 2
+    inv = 1.0 / np.where(ksq == 0, 1.0, ksq)
+    div = (K[0] * F[0] + K[1] * F[1] + K[2] * F[2]) * inv
+    ref = np.stack([F[c] - K[c] * div for c in range(3)]) - visc * ksq * S
+
+    a = lambda x: jnp.asarray(x, jnp.float32)
+    yr, yi = p3.fft_x_epilogue_packed(
+        a(f.real), a(f.imag), a(S.real), a(S.imag),
+        a(k0), a(k1), a(k2), a(m0), a(m1), a(m2),
+        "project", visc, buoy=(a(T.real), a(T.imag), Ri))
+    s = np.abs(ref).max()
+    assert np.abs(np.asarray(yr) - ref.real).max() < 2e-5 * s
+    assert np.abs(np.asarray(yi) - ref.imag).max() < 2e-5 * s
+
+
+def test_cross_rfft_z_packed_matches_unfused(rng):
+    """The z-only fused cross/mul kernel (wide-layout first leg) == XLA
+    cross + rfft_last_packed, for all three ops, incl. non-128 row counts."""
+    shape = (3, 4, 8, 256)
+    a = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1,) + shape[1:]).astype(np.float32))
+
+    def cross(x, y):
+        return jnp.stack([x[1] * y[2] - x[2] * y[1],
+                          x[2] * y[0] - x[0] * y[2],
+                          x[0] * y[1] - x[1] * y[0]])
+
+    assert p3.cross_z_ok(256, 32) and p3.cross_z_ok(256, 32, two=True)
+    for got, F in [(p3.cross_rfft_z_packed(a, b), cross(a, b)),
+                   (p3.cross_rfft_z_packed(a, b, c, d),
+                    cross(a, b) + cross(c, d)),
+                   (p3.mul_rfft_z_packed(a, t), a * t)]:
+        rr, ri = p3.rfft_last_packed(F)
+        s = float(jnp.abs(rr).max())
+        assert float(jnp.abs(got[0] - rr).max()) < 1e-5 * s
+        assert float(jnp.abs(got[1] - ri).max()) < 1e-5 * s
