@@ -123,9 +123,8 @@ class Boussinesq3D(SpectralSolver):
 
         Ur, Ui = Sr[:3], Si[:3]
         Tr, Ti = Sr[3], Si[3]
-        U = self._bwd_pk((Ur, Ui))
+        U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)
         th = self._bwd_pk((Tr, Ti))
-        W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
         if self._nl_any_fused:
             kargs = (k0, k1, k2, m0, m1, m2)
             # momentum: project(fft(U×W) + Ri·θ̂ê_z) − νk²û — the buoyancy

@@ -130,10 +130,8 @@ class MHD3D(SpectralSolver):
 
         Ur, Ui = UBr[:3], UBi[:3]
         Br, Bi = UBr[3:], UBi[3:]
-        U = self._bwd_pk((Ur, Ui))
-        B = self._bwd_pk((Br, Bi))
-        W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)   # ω = ifft(iK×û)
-        J = self._curl_bwd_pk(Br, Bi, k0, k1, k2)   # j = ifft(iK×b̂)
+        U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)  # ω = iK×û
+        B, J = self._bwd_state_curl_pk(Br, Bi, k0, k1, k2)  # j = iK×b̂
         if self._nl_any_fused:
             kargs = (k0, k1, k2, m0, m1, m2)
             # momentum: project(fft(U×W + J×B)) − νk²û; the two crosses sum

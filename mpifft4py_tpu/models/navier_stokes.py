@@ -150,7 +150,7 @@ class SpectralSolver:
         try:
             self._curl_fused = (
                 self.FFT._packed_gate_is_serial(self.dealias)
-                and p3.supported_c2c(int(self.FFT.N[0])))
+                and p3.curl_fused_ok(int(self.FFT.N[0])))
         except Exception:
             self._curl_fused = False
         # fast path for the whole nonlinear term: cross product + z/y forward
@@ -247,6 +247,23 @@ class SpectralSolver:
             return p3.fused_zy_fwd(F)
         yr, yi = p3.rfft_last_packed(F)
         return p3.fft_axis_planar(yr, yi, axis=F.ndim - 2)
+
+    def _bwd_state_curl_pk(self, Vr, Vi, k0, k1, k2,
+                           biot_savart: bool = False):
+        """(ifft(V̂), ifft(iK×V̂ [/k²])) — the RHS needs both the field and
+        its curl; on the serial path the with_state fused kernel emits both
+        from ONE pass over the state pair (≤512-class VMEM gate), otherwise
+        two separate inverse chains."""
+        from ..ops import pallas_fft3d as p3
+        if getattr(self, "_curl_fused", False) and \
+                p3.curl_fused_ok(int(self.FFT.N[0]), with_state=True):
+            W, V = p3.curl_irfft3d_packed(Vr, Vi, k0, k1, k2,
+                                          self.FFT.global_real_shape(),
+                                          biot_savart=biot_savart,
+                                          with_state=True)
+            return V, W
+        return (self._bwd_pk((Vr, Vi)),
+                self._curl_bwd_pk(Vr, Vi, k0, k1, k2, biot_savart))
 
     def _curl_bwd_pk(self, Vr, Vi, k0, k1, k2, biot_savart: bool = False):
         """ifft of i K × V̂ (optionally ×1/|k|² — Biot–Savart) for a packed
@@ -514,8 +531,8 @@ class NavierStokes3D(SpectralSolver):
         # 84.5 vs 77.0 ms/step at 256³ — the concat materialisations cost
         # more than the saved kernel launches.  The curl inverse rides the
         # fused curl+x-IFFT kernel on the serial path (_curl_bwd_pk).
-        U = self._bwd_pk((Ur, Ui))               # (3, N0, N1, N2), batched
-        W = self._curl_bwd_pk(Ur, Ui, k0, k1, k2)
+        U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)
+        # (3, N0, N1, N2) batched; one state-pair pass on the serial path
         if self._nl_any_fused:
             # cross product + forward + projection + viscous term in two
             # kernels; F = U×W and the pre-projection F̂ never touch HBM

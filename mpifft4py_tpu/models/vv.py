@@ -100,8 +100,8 @@ class VorticityVelocity3D(SpectralSolver):
         """Packed-pair vorticity-form RHS: Biot–Savart recovery and the curl
         of the nonlinear term as pure float-pair algebra."""
         # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
-        U = self._curl_bwd_pk(Wr, Wi, k0, k1, k2, biot_savart=True)
-        W = self._bwd_pk((Wr, Wi))
+        W, U = self._bwd_state_curl_pk(Wr, Wi, k0, k1, k2,
+                                       biot_savart=True)
         if self._nl_any_fused:
             # dω̂ = mask·(iK×fft(U×W)) − νk²ω̂ in two fused kernels
             return self._nl_fwd_epilogue_pk(

@@ -984,43 +984,87 @@ def irfft3d(fu, s) -> jnp.ndarray:
 # the curl is computed in VMEM inside the x-stage kernel.  Planar semantics:
 # re(iK×Û) = −K×Ui, im(iK×Û) = K×Ur.
 
-def _curl_ifft_x_kernel(n, r, m, biot_savart,
-                        ur_ref, ui_ref, k0_ref, k12_ref,
-                        wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref):
+def _curl_ifft_x_kernel(n, r, m, biot_savart, with_state, *refs):
+    (ur_ref, ui_ref, k0_ref, k12_ref,
+     wr_ref, wi_ref, cr_ref, ci_ref) = refs[:8]
+    if with_state:
+        or_ref, oi_ref, sr_ref, si_ref, kf_ref = refs[8:]
+    else:
+        or_ref, oi_ref, kf_ref = refs[8:]
     K0 = k0_ref[...]                      # (n, 1), varies along sublanes (k0)
     K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
     K2 = k12_ref[1:2, :]
-    u0r, u1r, u2r = ur_ref[0], ur_ref[1], ur_ref[2]
-    u0i, u1i, u2i = ui_ref[0], ui_ref[1], ui_ref[2]
+    # stage the three K factors broadcast to (n, tq) in a VMEM scratch: the
+    # per-component loop below is a fori_loop (unrolling co-allocates every
+    # iteration's _factored_vals temporaries on the scoped-VMEM stack —
+    # 18.65 M measured at 768-class), and a dynamic component index can only
+    # address refs, not the heterogeneous-shape K values
+    z01 = K0 * jnp.float32(0.0)
+    kf_ref[0] = K0 + K1 * jnp.float32(0.0)
+    kf_ref[1] = K1 + z01
+    kf_ref[2] = K2 + z01
     inv = jnp.float32(1.0 / n)
     if biot_savart:  # û = i(K×ω̂)/|k|² — fold 1/k² into the curl factors
         ksq = K0 * K0 + K1 * K1 + K2 * K2
         kinv = inv / jnp.where(ksq == 0, 1.0, ksq)
     else:
         kinv = inv
-    curls = (
-        (-(K1 * u2i - K2 * u1i), K1 * u2r - K2 * u1r),
-        (-(K2 * u0i - K0 * u2i), K2 * u0r - K0 * u2r),
-        (-(K0 * u1i - K1 * u0i), K0 * u1r - K1 * u0r),
-    )
-    for c, (ar, ai) in enumerate(curls):
-        yr, yi = _factored_vals(ar * kinv, ai * kinv, wr_ref[...], wi_ref[...],
+
+    def body(c, _):
+        c1 = lax.rem(c + 1, 3)
+        c2 = lax.rem(c + 2, 3)
+        K1c = kf_ref[pl.ds(c1, 1)][0]
+        K2c = kf_ref[pl.ds(c2, 1)][0]
+        u1r, u1i = ur_ref[pl.ds(c1, 1)][0], ui_ref[pl.ds(c1, 1)][0]
+        u2r, u2i = ur_ref[pl.ds(c2, 1)][0], ui_ref[pl.ds(c2, 1)][0]
+        ar = -(K1c * u2i - K2c * u1i) * kinv
+        ai = (K1c * u2r - K2c * u1r) * kinv
+        yr, yi = _factored_vals(ar, ai, wr_ref[...], wi_ref[...],
                                 cr_ref[...], ci_ref[...], r, m)
-        or_ref[c] = yr
-        oi_ref[c] = yi
+        or_ref[pl.ds(c, 1)] = yr[None]
+        oi_ref[pl.ds(c, 1)] = yi[None]
+        if with_state:   # plain x-inverse of the state rides the same pass
+            yr, yi = _factored_vals(ur_ref[pl.ds(c, 1)][0] * inv,
+                                    ui_ref[pl.ds(c, 1)][0] * inv,
+                                    wr_ref[...], wi_ref[...],
+                                    cr_ref[...], ci_ref[...], r, m)
+            sr_ref[pl.ds(c, 1)] = yr[None]
+            si_ref[pl.ds(c, 1)] = yi[None]
+        return 0
+
+    jax.lax.fori_loop(0, 3, body, 0)
 
 
-def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False):
+def curl_fused_ok(n0: int, with_state: bool = False) -> bool:
+    """VMEM gate for the fused curl(+state) x-inverse kernel: in/out blocks
+    double-buffered + the K scratch + loop-body temps.  768-class fits the
+    curl-only variant after the fori_loop restructure; with_state (two
+    3-stacks out) fits through 512-class."""
+    r, m = _factor(n0)
+    if not (r <= 8 and m >= 8):
+        return False
+    planes = 18 if with_state else 12
+    vmem = planes * n0 * 128 * 4 * 2 + 3 * n0 * 128 * 4 \
+        + 10 * n0 * 128 * 4 + 2 * m * m * 4
+    if _mm_mode() == "bf16x3":
+        vmem += 14 * n0 * 128 * 4
+    return vmem < 15 * 1024 * 1024
+
+
+def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False,
+                        with_state: bool = False):
     """W = irfft3d_packed of i K × Û for a packed planar state (3, N0, N1, h).
 
     ``k0, k1, k2`` are the 1-D scaled wavenumber vectors (the solver's
     factored arrays); ``s`` the physical shape.  The curl and the x-axis
     inverse FFT run in ONE kernel (one HBM pass over the state).
     ``biot_savart=True`` folds the 1/|k|² factor in (û from ω̂ — the
-    vorticity-form velocity recovery)."""
+    vorticity-form velocity recovery).  ``with_state=True`` additionally
+    emits irfft3d_packed of Û itself from the SAME pass (the RHS needs both
+    U and ω; this halves the state-pair reads) — returns (W, U)."""
     _, N0, N1, h = ur.shape
     r, m = _factor(N0)
-    assert r <= 8 and m >= 8, (N0, r, m)
+    assert curl_fused_ok(N0, with_state), (N0, with_state)
     tq = 128 if ((N1 * h) % 128 == 0) else h
     postf = N1 * h
     assert postf % tq == 0
@@ -1033,8 +1077,10 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False):
     x3i = ui.reshape(3, N0, postf)
     bx = pl.BlockSpec((3, N0, tq), lambda q: (0, 0, q), memory_space=pltpu.VMEM)
     c2 = lambda shape, im: pl.BlockSpec(shape, im, memory_space=pltpu.VMEM)
+    nout = 4 if with_state else 2
     fn = pl.pallas_call(
-        partial(_curl_ifft_x_kernel, N0, r, m, bool(biot_savart)),
+        partial(_curl_ifft_x_kernel, N0, r, m, bool(biot_savart),
+                bool(with_state)),
         grid=(postf // tq,),
         in_specs=[bx, bx,
                   c2((N0, 1), lambda q: (0, 0)),
@@ -1042,20 +1088,28 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False):
                   c2((m, m), lambda q: (0, 0)), c2((m, m), lambda q: (0, 0)),
                   c2((r * r * m, 1), lambda q: (0, 0)),
                   c2((r * r * m, 1), lambda q: (0, 0))],
-        out_specs=[bx, bx],
-        out_shape=[jax.ShapeDtypeStruct((3, N0, postf), jnp.float32)] * 2,
+        out_specs=[bx] * nout,
+        out_shape=[jax.ShapeDtypeStruct((3, N0, postf), jnp.float32)] * nout,
+        scratch_shapes=[pltpu.VMEM((3, N0, tq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * 3 * m * m * r * postf + 30 * N0 * postf,
-            bytes_accessed=4 * 4 * 3 * N0 * postf, transcendentals=0),
+            flops=(2 if with_state else 1) * 3 * 2 * 3 * m * m * r * postf
+            + 30 * N0 * postf,
+            bytes_accessed=4 * (2 + nout) * 3 * N0 * postf, transcendentals=0),
     )
-    yr, yi = fn(x3r, x3i, k0c, k12, jnp.asarray(wr), jnp.asarray(wi),
-                jnp.asarray(cr), jnp.asarray(ci))
-    yr = yr.reshape(3, N0, N1, h)
-    yi = yi.reshape(3, N0, N1, h)
-    if _use_fused_zy(s[-2], s[-1]):
-        return fused_zy_bwd(yr, yi, s[-1])
-    yr, yi = fft_axis_planar(yr, yi, axis=2, inverse=True)
-    return irfft_last_packed(yr, yi, s[-1])
+    outs = fn(x3r, x3i, k0c, k12, jnp.asarray(wr), jnp.asarray(wi),
+              jnp.asarray(cr), jnp.asarray(ci))
+
+    def _zy(yr, yi):
+        yr = yr.reshape(3, N0, N1, h)
+        yi = yi.reshape(3, N0, N1, h)
+        if _use_fused_zy(s[-2], s[-1]):
+            return fused_zy_bwd(yr, yi, s[-1])
+        yr, yi = fft_axis_planar(yr, yi, axis=2, inverse=True)
+        return irfft_last_packed(yr, yi, s[-1])
+
+    if with_state:
+        return _zy(outs[0], outs[1]), _zy(outs[2], outs[3])
+    return _zy(outs[0], outs[1])
 
 
 # ---------------------------------------------------------------------------

@@ -280,3 +280,22 @@ def test_cross_rfft_z_packed_matches_unfused(rng):
         s = float(jnp.abs(rr).max())
         assert float(jnp.abs(got[0] - rr).max()) < 1e-5 * s
         assert float(jnp.abs(got[1] - ri).max()) < 1e-5 * s
+
+
+def test_curl_irfft3d_with_state_matches_separate(rng):
+    """curl_irfft3d_packed(with_state=True) returns (W, U) from ONE pass
+    over the state pair; W must equal the curl-only kernel exactly and U the
+    plain packed inverse."""
+    N0, N1, N2 = 16, 64, 256
+    u = rng.standard_normal((3, N0, N1, N2)).astype(np.float32)
+    fu = np.fft.rfftn(u, axes=(1, 2, 3))
+    yr, yi = p3.pack_spectrum(jnp.asarray(fu))
+    k0 = jnp.asarray(np.fft.fftfreq(N0, 1.0 / N0).astype(np.float32))
+    k1 = jnp.asarray(np.fft.fftfreq(N1, 1.0 / N1).astype(np.float32))
+    k2 = jnp.asarray(np.arange(N2 // 2, dtype=np.float32))
+    assert p3.curl_fused_ok(N0, with_state=True)
+    W, U = p3.curl_irfft3d_packed(yr, yi, k0, k1, k2, (N0, N1, N2),
+                                  with_state=True)
+    Wonly = p3.curl_irfft3d_packed(yr, yi, k0, k1, k2, (N0, N1, N2))
+    assert float(jnp.abs(W - Wonly).max()) == 0.0
+    assert np.abs(np.asarray(U) - u).max() / np.abs(u).max() < 1e-5
