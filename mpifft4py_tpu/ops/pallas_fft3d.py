@@ -44,6 +44,13 @@ def _mm_mode() -> str:
     return os.environ.get("MPIFFT4PY_TPU_MATMUL", "highest")
 
 
+def _combine_mode() -> str:
+    """Twiddle-combine strategy for the factored DIT: "hier" (default —
+    pre-twiddle + radix-2 block DFT) or "direct" (r² accumulation)."""
+    import os
+    return os.environ.get("MPIFFT4PY_TPU_COMBINE", "hier")
+
+
 def _dot(a, b):
     """MXU matmul at the selected precision tier.
 
@@ -110,13 +117,59 @@ def _karatsuba(ar, ai, br, bi):
     return t1 - t2, t3 - t1 - t2
 
 
+def _block_dft(G, w, r):
+    """X_p = Σ_q w(p·q)·G_q across the list of (re, im) block values —
+    recursive radix-2 Cooley–Tukey on the BLOCK index (direct for odd
+    factors: r=3 in practice).  ``w(j)`` returns the scalar w_r^j as an
+    ((1,1) re, (1,1) im) pair; w(0) is skipped (identity)."""
+    if r == 1:
+        return G
+    if r % 2:                                   # direct odd-radix base
+        out = []
+        for p in range(r):
+            ar, ai = G[0]
+            for q in range(1, r):
+                sr, si = w(p * q)
+                gr, gi = G[q]
+                if (p * q) % r == 0:
+                    ar, ai = ar + gr, ai + gi
+                else:
+                    ar = ar + (sr * gr - si * gi)
+                    ai = ai + (sr * gi + si * gr)
+            out.append((ar, ai))
+        return out
+    h = r // 2
+    E = _block_dft(G[0::2], lambda j: w(2 * j), h)
+    O = _block_dft(G[1::2], lambda j: w(2 * j), h)
+    out = [None] * r
+    for p in range(h):
+        if p == 0:
+            tr, ti = O[0]
+        else:
+            sr, si = w(p)
+            orr, oi = O[p]
+            tr = sr * orr - si * oi
+            ti = sr * oi + si * orr
+        er, ei = E[p]
+        out[p] = (er + tr, ei + ti)
+        out[p + h] = (er - tr, ei - ti)
+    return out
+
+
 def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
     """Factored DIT over the sublane axis of 2D (n, TQ) VALUES; returns values.
 
     x[q::r] selection = reshape (n, TQ) -> (m, r, TQ)[:, q, :] (sublane split).
     E_q = fft_m(x[q::r]) via W (m, m) complex matmuls contracting sublanes.
-    out[k + p·m] = Σ_q phase[p, q, k] · E_q[k].
-    """
+    out[k + p·m] = Σ_q phase[p, q, k] · E_q[k]  with
+    phase[p, q, k] = w_n^{q·k} · w_r^{p·q}  — so the combine runs
+    HIERARCHICALLY: pre-twiddle each E_q by w_n^{q·k} (the table's p=0
+    block), then an r-point DFT ACROSS blocks via radix-2 recursion
+    (_block_dft).  vs the direct r² accumulation this cuts the VPU combine
+    from ~8·r to ~(6 + ~7·log₂r) flops/element — measured 1024³ y-stage
+    win in BENCH.md round 3.  Scalars w_r^j come from the same table
+    (rows (r+j)·m, k=0), so callers/constants are unchanged;
+    MPIFFT4PY_TPU_COMBINE=direct restores the old path."""
     TQ = xr.shape[-1]
     Er, Ei = [], []
     for q in range(r):
@@ -130,6 +183,21 @@ def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
         Ei.append(ei)
     if r == 1:
         return Er[0], Ei[0]
+    if _combine_mode() != "direct":
+        G = [(Er[0], Ei[0])]
+        for q in range(1, r):                  # pre-twiddle (p=0 table block)
+            cr = crv[q * m:(q + 1) * m, :]     # (m, 1) broadcast over TQ
+            ci = civ[q * m:(q + 1) * m, :]
+            G.append((cr * Er[q] - ci * Ei[q], cr * Ei[q] + ci * Er[q]))
+
+        def w(j):                              # w_r^j = table row (r+j)·m, k=0
+            j = j % r
+            return (crv[(r + j) * m:(r + j) * m + 1, :],
+                    civ[(r + j) * m:(r + j) * m + 1, :])
+
+        X = _block_dft(G, w, r)
+        return (jnp.concatenate([x[0] for x in X], axis=0),
+                jnp.concatenate([x[1] for x in X], axis=0))
     outs_r, outs_i = [], []
     for p in range(r):
         accr = acci = None
@@ -1374,24 +1442,34 @@ def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
     if ri is not None:                    # buoyancy rider (project mode)
         (fr_ref, fi_ref, sr_ref, si_ref, tr_ref, ti_ref,
          k0_ref, k12_ref, wr_ref, wi_ref, cr_ref, ci_ref,
-         or_ref, oi_ref) = refs
+         or_ref, oi_ref, Fr_s, Fi_s) = refs
     else:
         (fr_ref, fi_ref, sr_ref, si_ref, k0_ref, k12_ref,
-         wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref) = refs
+         wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref, Fr_s, Fi_s) = refs
     K0 = k0_ref[:, 0:1]                   # (n, 1), varies along sublanes
     M0 = k0_ref[:, 1:2]
     K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
     K2 = k12_ref[1:2, :]
     M12 = k12_ref[2:3, :]
     mask = M0 * M12                       # (n, tq) 0/1 floats
-    F = []
-    for c in range(3):
-        yr, yi = _factored_vals(fr_ref[c], fi_ref[c], wr_ref[...],
-                                wi_ref[...], cr_ref[...], ci_ref[...], r, m)
-        F.append((yr * mask, yi * mask))
+
+    # x-FFT the three components in a fori_loop staging into VMEM scratch:
+    # unrolling co-allocates every iteration's _factored_vals temporaries on
+    # the scoped-VMEM stack (the buoyancy-rider variant measured 16.85 M >
+    # the 16 M limit at 512-class when unrolled; staged it fits)
+    def _xfft(c, _):
+        yr, yi = _factored_vals(fr_ref[pl.ds(c, 1)][0], fi_ref[pl.ds(c, 1)][0],
+                                wr_ref[...], wi_ref[...], cr_ref[...],
+                                ci_ref[...], r, m)
+        Fr_s[pl.ds(c, 1)] = (yr * mask)[None]
+        Fi_s[pl.ds(c, 1)] = (yi * mask)[None]
+        return 0
+
+    jax.lax.fori_loop(0, 3, _xfft, 0)
     if ri is not None:                    # F̂₂ += Ri·θ̂ BEFORE projection
-        F[2] = (F[2][0] + jnp.float32(ri) * tr_ref[0],
-                F[2][1] + jnp.float32(ri) * ti_ref[0])
+        Fr_s[2] += jnp.float32(ri) * tr_ref[0]
+        Fi_s[2] += jnp.float32(ri) * ti_ref[0]
+    F = [(Fr_s[c], Fi_s[c]) for c in range(3)]
     ksq = K0 * K0 + K1 * K1 + K2 * K2
     Ks = (K0, K1, K2)
     nu = jnp.float32(visc)
@@ -1420,24 +1498,23 @@ def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
 
 
 def fft_x_epilogue_ok(n0: int, buoy: bool = False) -> bool:
-    """VMEM gate: 6 (3, n0, 128) blocks double-buffered + value temps; the
-    buoyancy rider adds two (1, n0, 128) blocks — measured to push the
-    512-class kernel from ~15.8 M (fits) to 16.85 M (scoped-VMEM OOM on
-    chip), hence the tighter threshold with ``buoy``.  Callers don't need to
-    check the buoy budget themselves: ``fft_x_epilogue_packed`` falls back to
-    kernel-without-buoy + an XLA projection-rider pass when it fails."""
+    """VMEM gate: 18 (n0, 128) blocks double-buffered (6 F̂-pair in, 6 state
+    in, 6 out; the buoyancy rider adds 2 more) + the (3, n0, tq) staging
+    scratch pair + loop-body value temps.  After the fori_loop+scratch
+    restructure the 512-class kernel fits WITH the rider (the earlier
+    unrolled form measured 16.85 M > the 16 M limit there; staged it
+    compiles and runs on chip — see BENCH.md round 3).  768-class stays out:
+    the double-buffered blocks alone are 14.2 M."""
     r, m = _factor(n0)
-    vmem = 18 * n0 * 128 * 4 * 2 + 10 * n0 * 128 * 4 + 2 * m * m * 4
+    planes = 18 + (2 if buoy else 0)
+    vmem = planes * n0 * 128 * 4 * 2 + 14 * n0 * 128 * 4 + 2 * m * m * 4
     if _mm_mode() == "bf16x3":
         # the manual hi/lo-split matmul's extra temporaries: measured
-        # 19.46 M vs ~15.8 M (HIGHEST) at n0=512 — +14 (n0, 128) planes.
-        # bf16x3 therefore gates the 512-class fused path OFF (it remains a
-        # 1024-class dense-z lever; BENCH.md)
+        # 19.46 M vs ~15.8 M (HIGHEST) at n0=512 pre-restructure — +14
+        # (n0, 128) planes.  bf16x3 therefore gates the 512-class fused path
+        # OFF (it remains a 1024-class dense-z lever; BENCH.md)
         vmem += 14 * n0 * 128 * 4
-    if buoy:
-        vmem += 4 * n0 * 128 * 4
-        return r <= 8 and m >= 8 and vmem < 25 * 512 * 1024   # 12.5 M
-    return r <= 8 and m >= 8 and vmem < 14 * 1024 * 1024
+    return r <= 8 and m >= 8 and vmem < 15 * 1024 * 1024
 
 
 def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
@@ -1459,8 +1536,8 @@ def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
     r, m = _factor(N0)
     assert fft_x_epilogue_ok(N0), N0
     if buoy is not None and not fft_x_epilogue_ok(N0, buoy=True):
-        # 512-class: the rider's two extra blocks overflow scoped VMEM
-        # (measured 16.85 M vs the 16 M limit).  Projection is linear, so run
+        # Above the buoy gate (576-class+) the rider's two extra blocks
+        # overflow scoped VMEM.  Projection is linear, so run
         # the kernel without the rider and add  Ri·P(θ̂·ê_z)  as an XLA
         # elementwise pass:  P(θ̂ê_z)_c = θ̂·(δ_c2 − k_c·k2/k²).  θ̂ is state
         # spectrum (already masked), matching the kernel's unmasked rider.
@@ -1511,6 +1588,7 @@ def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
         in_specs=in_specs,
         out_specs=[bk(ns), bk(ns)],
         out_shape=[jax.ShapeDtypeStruct((ns, N0, postf), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((3, N0, tq), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * 3 * m * m * r * postf + 40 * N0 * postf,
             bytes_accessed=4 * (6 + 2 * ns) * N0 * postf, transcendentals=0),

@@ -213,11 +213,13 @@ def test_cross_zy_acc_matches_oneshot_path(rng):
 
 
 def test_fft_x_epilogue_buoy_fallback_matches_reference(rng):
-    """At 512-class N0 the buoyancy rider's two extra blocks overflow scoped
-    VMEM; ``fft_x_epilogue_packed`` must fall back to kernel-without-buoy +
-    an XLA Ri·P(θ̂ê_z) pass (projection is linear).  N0=576 passes the base
-    gate but fails the buoy gate — the fallback composition is checked
-    against a dense complex reference of the full buoyant epilogue."""
+    """Above the buoy gate (576-class N0+) the buoyancy rider's two extra
+    blocks overflow scoped VMEM; ``fft_x_epilogue_packed`` must fall back to
+    kernel-without-buoy + an XLA Ri·P(θ̂ê_z) pass (projection is linear).
+    N0=576 passes the base gate but fails the buoy gate — the fallback
+    composition is checked against a dense complex reference of the full
+    buoyant epilogue.  (512-class fits the rider in-kernel since the
+    fori_loop+scratch restructure.)"""
     N0, N1, h = 576, 4, 128
     assert p3.fft_x_epilogue_ok(N0) and not p3.fft_x_epilogue_ok(N0, buoy=True)
     assert p3.fft_x_epilogue_ok(256, buoy=True)   # 256-class keeps the kernel
