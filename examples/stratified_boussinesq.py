@@ -56,9 +56,11 @@ def main():
             # while the two parts oscillate against each other
             print(f"t={i * solver.dt:<8.3f} E_kin={eu:.6f}  E_theta={et:.6f}  "
                   f"E_kin+Ri·E_theta={eu + Ri * et:.6f}")
+    solver.energies(S)   # scalar fetch = real sync (relay: async dispatch)
     wall = time.perf_counter() - t0
-    print(f"{steps} RK4 steps (13 distributed transforms each) "
-          f"in {wall:.2f}s = {wall / steps * 1e3:.1f} ms/step")
+    print(f"{steps} RK4 steps (52 distributed transforms each) "
+          f"in {wall:.2f}s = {wall / steps * 1e3:.1f} ms/step "
+          f"(eager-loop upper bound; use solver.run() for production)")
 
 
 if __name__ == "__main__":

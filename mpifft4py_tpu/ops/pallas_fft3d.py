@@ -166,8 +166,9 @@ def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
     HIERARCHICALLY: pre-twiddle each E_q by w_n^{q·k} (the table's p=0
     block), then an r-point DFT ACROSS blocks via radix-2 recursion
     (_block_dft).  vs the direct r² accumulation this cuts the VPU combine
-    from ~8·r to ~(6 + ~7·log₂r) flops/element — measured 1024³ y-stage
-    win in BENCH.md round 3.  Scalars w_r^j come from the same table
+    from ~8·r to ~(6 + ~7·log₂r) flops/element at r ∈ {4, 6, 8} — the
+    512/768/1024-class y/x stages (numbers in BENCH.md once measured on
+    chip).  Scalars w_r^j come from the same table
     (rows (r+j)·m, k=0), so callers/constants are unchanged;
     MPIFFT4PY_TPU_COMBINE=direct restores the old path."""
     TQ = xr.shape[-1]
@@ -1501,10 +1502,9 @@ def fft_x_epilogue_ok(n0: int, buoy: bool = False) -> bool:
     """VMEM gate: 18 (n0, 128) blocks double-buffered (6 F̂-pair in, 6 state
     in, 6 out; the buoyancy rider adds 2 more) + the (3, n0, tq) staging
     scratch pair + loop-body value temps.  After the fori_loop+scratch
-    restructure the 512-class kernel fits WITH the rider (the earlier
-    unrolled form measured 16.85 M > the 16 M limit there; staged it
-    compiles and runs on chip — see BENCH.md round 3).  768-class stays out:
-    the double-buffered blocks alone are 14.2 M."""
+    restructure the 512-class kernel fits WITH the rider per this budget
+    (the earlier unrolled form measured 16.85 M > the 16 M limit there).
+    768-class stays out: the double-buffered blocks alone are 14.2 M."""
     r, m = _factor(n0)
     planes = 18 + (2 if buoy else 0)
     vmem = planes * n0 * 128 * 4 * 2 + 14 * n0 * 128 * 4 + 2 * m * m * 4

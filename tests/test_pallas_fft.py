@@ -44,8 +44,11 @@ def test_dense_rfft_irfft_last(rng):
 @pytest.mark.parametrize("n,axis", [(256, 1), (384, 1), (256, 0), (96, 1),
                                     # hierarchical-combine radix coverage:
                                     # r=4 (two-level), r=5 (odd base),
+                                    # r=6 (even split -> odd base, composed
+                                    # twiddles), r=7 (direct odd),
                                     # r=8 (three-level)
-                                    (512, 1), (640, 1), (1024, 1)])
+                                    (512, 1), (640, 1), (768, 1), (896, 1),
+                                    (1024, 1)])
 def test_factored_planar_axis(rng, n, axis):
     shape = (2, n, 128) if axis == 1 else (n, 2, 128)
     x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
