@@ -72,9 +72,30 @@ def load_field(path: str, FFT, name: str = "field", space: str = "auto"):
     return _place(FFT, host, spectral)
 
 
+def _packed_sharding(FFT, ndim: int):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = tuple(FFT._packed_spec())
+    extra = ndim - len(spec)
+    return NamedSharding(FFT.mesh, P(*((None,) * extra + spec)))
+
+
 def save_state(path: str, FFT, U_hat, step: int = 0, t: float = 0.0,
                **extra) -> None:
-    """DNS checkpoint: a (ncomp,)+spectral stack plus scalar run metadata."""
+    """DNS checkpoint: a (ncomp,)+spectral stack plus scalar run metadata.
+
+    Accepts either the complex layout (one stacked array) or the packed
+    float-pair layout ``(Ur, Ui)`` that ``spectral_layout="packed"`` solvers
+    carry — the pair is stored as two float arrays (no complex
+    materialisation, relay-safe by construction)."""
+    if isinstance(U_hat, (tuple, list)) and len(U_hat) == 2:
+        ur = np.asarray(jax.device_get(U_hat[0]))   # float pair: relay-safe
+        ui = np.asarray(jax.device_get(U_hat[1]))
+        if jax.process_index() == 0:
+            np.savez_compressed(path, U_re=ur, U_im=ui, packed=True,
+                                step=step, t=t, N=np.asarray(FFT.N),
+                                precision=FFT.policy.precision, **extra)
+        return
     host = _to_host(FFT, U_hat)
     if jax.process_index() == 0:
         np.savez_compressed(path, U_hat=host, step=step, t=t,
@@ -83,8 +104,20 @@ def save_state(path: str, FFT, U_hat, step: int = 0, t: float = 0.0,
 
 
 def load_state(path: str, FFT):
-    """Returns (U_hat sharded, dict of metadata)."""
+    """Returns (state sharded, dict of metadata).  The state is the complex
+    stack, or the packed ``(Ur, Ui)`` pair when the checkpoint was saved from
+    the packed layout (``meta["packed"]`` is then present and true)."""
     with np.load(path) as z:
+        if "packed" in z.files and bool(z["packed"]):
+            ur, ui = z["U_re"], z["U_im"]
+            meta = {k: z[k] for k in z.files if k not in ("U_re", "U_im")}
+            if not np.array_equal(meta["N"], np.asarray(FFT.N)):
+                raise ValueError(
+                    f"checkpoint grid {tuple(meta['N'])} != transform grid "
+                    f"{tuple(FFT.N)}")
+            sh = _packed_sharding(FFT, ur.ndim)
+            return ((jax.device_put(ur.astype(np.float32), sh),
+                     jax.device_put(ui.astype(np.float32), sh)), meta)
         host = z["U_hat"]
         meta = {k: z[k] for k in z.files if k != "U_hat"}
     if not np.array_equal(meta["N"], np.asarray(FFT.N)):
