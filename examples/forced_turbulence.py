@@ -23,7 +23,8 @@ def main():
 
     from mpifft4py_tpu import slab
     from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
-    from mpifft4py_tpu.models.diagnostics import energy_spectrum
+    from mpifft4py_tpu.models.diagnostics import (energy_spectrum,
+                                                  energy_spectrum_packed)
 
     grid = np.array([N, N, N])
     L = np.array([2 * np.pi] * 3)
@@ -46,8 +47,10 @@ def main():
         U = solver.step(U)
         if i % max(1, steps // 5) == 0:
             e = solver.energy(U)
-            Uc = solver.from_packed(U) if packed else U
-            Ek = np.asarray(energy_spectrum(FFT, Uc))
+            # packed-native spectrum: no transient complex unpack (at 512³
+            # the unpack would spike ~1.6 GB of HBM mid-run)
+            Ek = (energy_spectrum_packed(FFT, U) if packed
+                  else np.asarray(energy_spectrum(FFT, U)))
             lo = float(Ek[:3].sum())
             hi = float(Ek[3:].sum())
             print(f"t={i * solver.dt:<8.3f} E={e:.6f}  "

@@ -55,6 +55,34 @@ def energy_spectrum(FFT, U_hat) -> np.ndarray:
     return np.asarray(jax.jit(spec)(U_hat, K))
 
 
+def energy_spectrum_packed(FFT, pair) -> np.ndarray:
+    """E(k) directly on the packed (Sr, Si) float-pair state — no complex
+    unpack (which transiently costs a full complex stack: ~1.6 GB at 512³,
+    a real HBM spike mid-run).  The pair must be purified (2/3-rule solver
+    states always are): column k2=0 weight 1, interior 2, no Nyquist column.
+    Shell ids come from broadcast 1-D integer wavenumbers — nothing is
+    materialised outside the jit."""
+    sr, si = pair
+    N = [int(n) for n in FFT.N]
+    h = N[2] // 2
+    kmax = int(max(N) // 2)
+    ntot = float(np.prod(N))
+    k0 = jnp.asarray(np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32))
+    k1 = jnp.asarray(np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32))
+    k2 = jnp.asarray(np.arange(h, dtype=np.float32))
+    w = jnp.asarray(np.where(np.arange(h) == 0, 1.0, 2.0).astype(np.float32))
+
+    def spec(sr, si, k0, k1, k2, w):
+        ksq = (k0[:, None, None] ** 2 + k1[None, :, None] ** 2
+               + k2[None, None, :] ** 2)
+        shell = jnp.clip(jnp.round(jnp.sqrt(ksq)).astype(jnp.int32), 0, kmax)
+        e = 0.5 * jnp.sum(sr * sr + si * si, axis=0) * w / (ntot * ntot)
+        return jax.ops.segment_sum(e.ravel(), shell.ravel(),
+                                   num_segments=kmax + 1)
+
+    return np.asarray(jax.jit(spec)(sr, si, k0, k1, k2, w))
+
+
 def dissipation(FFT, U_hat, nu: float) -> float:
     """ε = 2ν Σ k² E(k) (physical wavenumbers)."""
     K = FFT.get_scaled_local_wavenumbermesh()

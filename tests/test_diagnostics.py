@@ -23,6 +23,26 @@ def test_spectrum_parseval_consistent():
     assert eps > 0
 
 
+def test_spectrum_packed_matches_complex(rng, monkeypatch):
+    """energy_spectrum_packed on the (Sr, Si) pair == energy_spectrum on the
+    unpacked complex state (packed layout needs (N2/2) % 128 == 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mpifft4py_tpu.models.diagnostics import energy_spectrum_packed
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    with pltpu.force_tpu_interpret_mode():
+        shape = (16, 16, 256)
+        FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+        s = NavierStokes3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule",
+                           spectral_layout="packed")
+        U = s.step(s.taylor_green())      # one step: fill more shells
+        Ep = energy_spectrum_packed(FFT, U)
+        Ec = energy_spectrum(FFT, s.from_packed(U))
+        assert Ep.shape == Ec.shape
+        assert np.abs(Ep - Ec).max() < 1e-10 * max(Ec.max(), 1e-30)
+        assert abs(Ep.sum() - s.energy(U)) < 1e-9
+
+
 def test_inviscid_energy_conservation():
     """nu = 0, dealiased: RK4 conserves energy to integrator order."""
     N = 16
