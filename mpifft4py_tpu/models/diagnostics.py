@@ -95,3 +95,25 @@ def dissipation(FFT, U_hat, nu: float) -> float:
         return nu * jnp.sum(k2 * e)
 
     return float(jax.jit(eps)(U_hat, K))
+
+
+def dissipation_packed(FFT, pair, nu: float) -> float:
+    """ε on the packed (Sr, Si) pair — scaled wavenumbers, factored 1-D
+    (no K-mesh or complex materialisation; see energy_spectrum_packed)."""
+    sr, si = pair
+    N = [int(n) for n in FFT.N]
+    h = N[2] // 2
+    ntot = float(np.prod(N))
+    s = 2 * np.pi / np.asarray(FFT.L)
+    k0 = jnp.asarray((np.fft.fftfreq(N[0], 1.0 / N[0]) * s[0]).astype(np.float32))
+    k1 = jnp.asarray((np.fft.fftfreq(N[1], 1.0 / N[1]) * s[1]).astype(np.float32))
+    k2 = jnp.asarray((np.arange(h) * s[2]).astype(np.float32))
+    w = jnp.asarray(np.where(np.arange(h) == 0, 1.0, 2.0).astype(np.float32))
+
+    def eps(sr, si, k0, k1, k2, w):
+        ksq = (k0[:, None, None] ** 2 + k1[None, :, None] ** 2
+               + k2[None, None, :] ** 2)
+        e = jnp.sum(sr * sr + si * si, axis=0) * w / (ntot * ntot)
+        return nu * jnp.sum(ksq * e)
+
+    return float(jax.jit(eps)(sr, si, k0, k1, k2, w))

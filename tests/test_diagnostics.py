@@ -41,6 +41,10 @@ def test_spectrum_packed_matches_complex(rng, monkeypatch):
         assert Ep.shape == Ec.shape
         assert np.abs(Ep - Ec).max() < 1e-10 * max(Ec.max(), 1e-30)
         assert abs(Ep.sum() - s.energy(U)) < 1e-9
+        from mpifft4py_tpu.models.diagnostics import dissipation_packed
+        ep = dissipation_packed(FFT, U, nu=0.01)
+        ec = dissipation(FFT, s.from_packed(U), nu=0.01)
+        assert abs(ep - ec) < 1e-9 * max(abs(ec), 1e-30)
 
 
 def test_inviscid_energy_conservation():
