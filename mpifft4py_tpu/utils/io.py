@@ -88,7 +88,12 @@ def save_state(path: str, FFT, U_hat, step: int = 0, t: float = 0.0,
     float-pair layout ``(Ur, Ui)`` that ``spectral_layout="packed"`` solvers
     carry — the pair is stored as two float arrays (no complex
     materialisation, relay-safe by construction)."""
-    if isinstance(U_hat, (tuple, list)) and len(U_hat) == 2:
+    if (isinstance(U_hat, (tuple, list)) and len(U_hat) == 2
+            and all(hasattr(x, "dtype") and not np.issubdtype(x.dtype,
+                                                              np.complexfloating)
+                    for x in U_hat)):
+        # the packed (Ur, Ui) float pair — NOT e.g. an AB2 (state, f_prev)
+        # complex carry, which must go through the gather path below
         ur = np.asarray(jax.device_get(U_hat[0]))   # float pair: relay-safe
         ui = np.asarray(jax.device_get(U_hat[1]))
         if jax.process_index() == 0:
