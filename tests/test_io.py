@@ -55,11 +55,24 @@ def test_save_load_packed_state(rng, tmp_path, monkeypatch):
         _packed_state_roundtrip(rng, tmp_path)
 
 
-def _packed_state_roundtrip(rng, tmp_path):
+def test_save_load_packed_state_wide_pencil(rng, tmp_path, monkeypatch):
+    """Same over the row-sharded WIDE pencil packed layout (P2 > 1)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("MPIFFT4PY_TPU_PALLAS_DIST", "force")
+    with pltpu.force_tpu_interpret_mode():
+        FFT = pencil.R2C(np.array([16, 16, 256]), np.array([TAU] * 3), 4,
+                         "single", P1=2)
+        assert FFT.P2 == 2
+        _packed_state_roundtrip(rng, tmp_path, FFT)
+
+
+def _packed_state_roundtrip(rng, tmp_path, FFT=None):
     from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
 
     shape = (16, 16, 256)
-    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
+    if FFT is None:
+        FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 4, "single")
     s = NavierStokes3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule",
                        spectral_layout="packed")
     U = s.taylor_green()
