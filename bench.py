@@ -42,7 +42,32 @@ def _timeit(fn, x, iters=20):
     return dt
 
 
+def _backend_watchdog(seconds: float = 300.0):
+    """Fail fast (instead of hanging indefinitely) when the TPU relay is
+    down: backend init blocks in C and ignores env overrides (the axon
+    sitecustomize reads JAX_PLATFORMS before user code runs), so probe it
+    from a daemon thread and hard-exit on timeout."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(seconds):
+        print(json.dumps({
+            "metric": "3d_r2c_c2r_roundtrip_unavailable",
+            "value": 0.0, "unit": "ms", "vs_baseline": 0.0,
+            "error": f"backend init did not complete in {seconds:.0f}s "
+                     "(TPU relay unavailable)"}))
+        os._exit(3)
+
+
 def main():
+    _backend_watchdog()
     import jax
     import jax.numpy as jnp
     from mpifft4py_tpu.slab import R2C
