@@ -361,6 +361,17 @@ class SpectralSolver:
             return ke
         return float(self._plan("energy_packed", build)(U[0], U[1]))
 
+    def spectrum(self, state) -> np.ndarray:
+        """Shell-binned kinetic-energy spectrum E(k) of the VELOCITY
+        components, dispatching on the state layout (the packed path never
+        materialises a complex stack — diagnostics stay cheap mid-run).
+        Multi-field solvers (MHD/Boussinesq) bin components 0..2 (û)."""
+        from .diagnostics import energy_spectrum, energy_spectrum_packed
+        if self.spectral_layout == "packed":
+            return energy_spectrum_packed(self.FFT,
+                                          (state[0][:3], state[1][:3]))
+        return np.asarray(energy_spectrum(self.FFT, state[:3]))
+
     def _factored_k(self):
         """1-D scaled wavenumbers matching global_complex_shape (replicated;
         GSPMD broadcasts them against the sharded spectral state)."""

@@ -45,6 +45,12 @@ def test_spectrum_packed_matches_complex(rng, monkeypatch):
         ep = dissipation_packed(FFT, U, nu=0.01)
         ec = dissipation(FFT, s.from_packed(U), nu=0.01)
         assert abs(ep - ec) < 1e-9 * max(abs(ec), 1e-30)
+        # solver-level dispatch mirrors both paths
+        assert np.abs(s.spectrum(U) - Ep).max() == 0.0
+        s2 = NavierStokes3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule")
+        U2 = s2.taylor_green()
+        assert np.abs(s2.spectrum(U2)
+                      - np.asarray(energy_spectrum(FFT, U2))).max() == 0.0
 
 
 def test_inviscid_energy_conservation():
