@@ -179,8 +179,9 @@ class Boussinesq3D(SpectralSolver):
             def ke(S_hat):
                 U = jnp.stack([self._bwd(S_hat[i]) for i in range(3)])
                 th = self._bwd(S_hat[3])
-                return (0.5 * jnp.mean(jnp.sum(U * U, axis=0)),
-                        0.5 * jnp.mean(th * th))
+                sm = SpectralSolver.staged_mean
+                return (0.5 * sm(jnp.sum(U * U, axis=0)),
+                        0.5 * sm(th * th))
             return ke
         eu, et = self._plan("energies", build)(S_hat)
         return float(eu), float(et)

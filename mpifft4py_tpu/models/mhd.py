@@ -173,8 +173,9 @@ class MHD3D(SpectralSolver):
             def ke(UB_hat):
                 U = jnp.stack([self._bwd(UB_hat[i]) for i in range(3)])
                 B = jnp.stack([self._bwd(UB_hat[3 + i]) for i in range(3)])
-                return (0.5 * jnp.mean(jnp.sum(U * U, axis=0)),
-                        0.5 * jnp.mean(jnp.sum(B * B, axis=0)))
+                sm = SpectralSolver.staged_mean
+                return (0.5 * sm(jnp.sum(U * U, axis=0)),
+                        0.5 * sm(jnp.sum(B * B, axis=0)))
             return ke
         eu, eb = self._plan("energies", build)(UB_hat)
         return float(eu), float(eb)

@@ -335,6 +335,18 @@ class SpectralSolver:
             return self._advance(rhs1, U)
         return step
 
+    @staticmethod
+    def staged_mean(x):
+        """Mean over ALL axes via sequential per-axis sums — each partial is
+        short (≤ max(N) terms, ~sqrt(N)·eps error) where one flat f32 reduce
+        over ~1e8 elements random-walks ~1e-4 relative (measured 4e-5 at a
+        mere 32³ on XLA:CPU)."""
+        n = float(np.prod(x.shape))
+        s = x
+        for _ in range(x.ndim):
+            s = s.sum(axis=-1)
+        return s / n
+
     def _parseval_component_energies(self):
         """Builder piece shared by the family's packed diagnostics: a fn
         (Sr, Si) -> per-component Parseval energies 0.5·Σ w·|ŝ_c|²/ntot²
@@ -346,8 +358,11 @@ class SpectralSolver:
         ntot = float(np.prod([int(n) for n in self.FFT.N]))
 
         def comp_e(Sr, Si):
-            e = jnp.sum((Sr * Sr + Si * Si) * jnp.asarray(w),
-                        axis=(-3, -2, -1))
+            # sequential per-axis sums: a single flat f32 reduce over ~1e8
+            # elements random-walks ~1e-4 relative; staging it keeps each
+            # partial sum short (≤ max(N) terms), ~sqrt(N)·eps per stage
+            e = (Sr * Sr + Si * Si) * jnp.asarray(w)
+            e = e.sum(axis=-1).sum(axis=-1).sum(axis=-1)
             return 0.5 * e / (ntot * ntot)
         return comp_e
 
@@ -658,7 +673,7 @@ class NavierStokes3D(SpectralSolver):
         def build():
             def ke(U_hat):
                 U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
-                return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
+                return 0.5 * self.staged_mean(jnp.sum(U * U, axis=0))
             return ke
         return float(self._plan("energy", build)(U_hat))
 

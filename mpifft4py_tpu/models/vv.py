@@ -163,7 +163,7 @@ class VorticityVelocity3D(SpectralSolver):
                      1j * (K2v * W_hat[0] - K0 * W_hat[2]) * inv,
                      1j * (K0 * W_hat[1] - K1 * W_hat[0]) * inv])
                 U = jnp.stack([self._bwd(U_hat[i]) for i in range(3)])
-                return 0.5 * jnp.mean(jnp.sum(U * U, axis=0))
+                return 0.5 * SpectralSolver.staged_mean(jnp.sum(U * U, axis=0))
             return ke
         return float(self._plan("energy", build)(W_hat, *self._step_args()))
 
@@ -174,6 +174,6 @@ class VorticityVelocity3D(SpectralSolver):
         def build():
             def en(W_hat):
                 W = jnp.stack([self._bwd(W_hat[i]) for i in range(3)])
-                return 0.5 * jnp.mean(jnp.sum(W * W, axis=0))
+                return 0.5 * SpectralSolver.staged_mean(jnp.sum(W * W, axis=0))
             return en
         return float(self._plan("enstrophy", build)(W_hat))
