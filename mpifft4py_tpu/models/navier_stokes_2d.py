@@ -82,7 +82,9 @@ class NavierStokes2D:
         return self._step(w_hat, self.K, self.K2, self.K2_inv)
 
     def enstrophy(self, w_hat) -> float:
+        from .navier_stokes import SpectralSolver
+
         def ens(w_hat):
             w = self._bwd(w_hat)
-            return 0.5 * jnp.mean(w * w)
+            return 0.5 * SpectralSolver.staged_mean(w * w)
         return float(jax.jit(ens)(w_hat))
