@@ -483,24 +483,69 @@ class SpectralSolver:
             self._step = jax.jit(self._step_builder())
         return self._step(state, *self._step_args())
 
-    def run(self, state, n_steps: int):
-        """n_steps under lax.scan (ONE compiled program, cached per n_steps).
+    def _carry_state(self, c):
+        """The physical state inside an integrator carry (AB2 carries
+        (state, f_prev))."""
+        return c[0] if self.integrator == "AB2" else c
+
+    def _monitor_builder(self):
+        """Jit-safe scalar monitor of the state: total Parseval energy of all
+        components (spectral — no inverse transforms inside the scan)."""
+        if self.spectral_layout == "packed":
+            comp = self._parseval_component_energies()
+            return lambda S: jnp.sum(comp(S[0], S[1]))
+        from .diagnostics import _hermitian_weights
+        w = _hermitian_weights(self.FFT)
+        ntot = float(np.prod([int(n) for n in self.FFT.N]))
+
+        def mon(S):
+            # dtype follows the state (f64 under "double" on CPU, f32 on TPU)
+            mag = (jnp.real(S) ** 2 + jnp.imag(S) ** 2) * w
+            return 0.5 * self.staged_mean(mag) * mag.size / (ntot * ntot)
+        return mon
+
+    def run(self, state, n_steps: int, monitor_every: Optional[int] = None):
+        """n_steps under lax.scan (ONE compiled program, cached per shape).
+
+        ``monitor_every=k`` additionally records the total Parseval energy of
+        the state every k steps WITHOUT leaving the compiled program (no
+        per-step dispatch/readback through the relay): returns
+        ``(final_state, trace)`` with ``trace.shape == (n_steps // k,)``
+        (n_steps must be divisible by k).  Without it, returns the final
+        state only.
 
         NOTE: the input ``state`` buffer is DONATED to the scan (the carry is
         updated in place) — at 512³ the state pair is 1.6 GB and donation is
         the difference between fitting and OOM on a 16 GB chip.  Do not reuse
         ``state`` after calling run; keep the return value instead."""
-        fn = getattr(self, "_run_plans", None)
-        if fn is None:
-            self._run_plans = {}
-        fn = self._run_plans.get(n_steps)
+        plans = getattr(self, "_run_plans", None)
+        if plans is None:
+            plans = self._run_plans = {}
+        key = (n_steps, monitor_every)
+        fn = plans.get(key)
         if fn is None:
             step = self._step_builder()
+            if monitor_every is None:
+                def body(u0, *args):
+                    return jax.lax.scan(lambda c, _: (step(c, *args), None),
+                                        u0, None, length=n_steps)[0]
+            else:
+                k = int(monitor_every)
+                if n_steps % k:
+                    raise ValueError(
+                        f"n_steps={n_steps} not divisible by "
+                        f"monitor_every={k}")
+                mon = self._monitor_builder()
 
-            def body(u0, *args):
-                return jax.lax.scan(lambda c, _: (step(c, *args), None),
-                                    u0, None, length=n_steps)[0]
-            fn = self._run_plans[n_steps] = jax.jit(body, donate_argnums=0)
+                def body(u0, *args):
+                    def chunk(c, _):
+                        c = jax.lax.scan(
+                            lambda cc, _: (step(cc, *args), None),
+                            c, None, length=k)[0]
+                        return c, mon(self._carry_state(c))
+                    return jax.lax.scan(chunk, u0, None,
+                                        length=n_steps // k)
+            fn = plans[key] = jax.jit(body, donate_argnums=0)
         return fn(state, *self._step_args())
 
 

@@ -167,3 +167,25 @@ def test_forcing_distributed_matches_serial():
     U1 = s1.step(s1.taylor_green())
     U4 = s4.step(s4.taylor_green())
     assert np.allclose(np.asarray(U1), np.asarray(U4), atol=1e-12)
+
+
+def test_run_with_monitor_trace():
+    """run(..., monitor_every=k) returns (final, trace) with the in-scan
+    Parseval energies matching eagerly-stepped energies; the final state is
+    bit-identical to the unmonitored run."""
+    N = np.array([16, 16, 16])
+    FFT = slab.R2C(N, np.array([TAU] * 3), 4, "double")
+    s = NavierStokes3D(FFT, nu=1e-3, dt=0.005, dealias="2/3-rule")
+    V = s.taylor_green()
+    es = []
+    for i in range(1, 5):
+        V = s.step(V)
+        if i % 2 == 0:
+            es.append(s.energy(V))
+    final, trace = s.run(s.taylor_green(), 4, monitor_every=2)
+    assert trace.shape == (2,)
+    assert np.allclose(np.asarray(trace), es, rtol=1e-12)
+    assert np.abs(FFT.gather(final) - FFT.gather(V)).max() == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        s.run(s.taylor_green(), 5, monitor_every=2)
