@@ -1,0 +1,94 @@
+"""On-chip DNS step-time sweep (round-3 session-4 validation).
+
+Measures ms/step for the packed fused-NL fast path across the solver family
+at 256-class and 512-class grids, on the real chip through the axon relay.
+Relay-safe timing: the whole measurement is ONE compiled ``run(state, iters)``
+scan ending in a host scalar fetch (see utils.profiling.measure docstring).
+
+Usage:  PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/dns_steps_onchip.py [--small|--large|--buoy512]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def _sync(solver, state):
+    """Relay-safe sync point: a host scalar fetch of a diagnostic."""
+    e = (solver.energy if hasattr(solver, "energy")
+         else lambda s: solver.energies(s)[0])
+    return float(e(state))
+
+
+def _step_time(solver, state, iters):
+    """One jitted n-step scan, timed around the compiled call.  ``run``
+    DONATES its input state, so each call consumes the previous output."""
+    print("  E0 =", _sync(solver, state), flush=True)
+    out = solver.run(state, iters)
+    print("  E1 =", _sync(solver, out), flush=True)
+    t0 = time.perf_counter()
+    out = solver.run(out, iters)
+    _sync(solver, out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--small"
+    import jax
+    from mpifft4py_tpu import slab
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+    from mpifft4py_tpu.models.vv import VorticityVelocity3D
+    from mpifft4py_tpu.models.mhd import MHD3D
+    from mpifft4py_tpu.models.boussinesq import Boussinesq3D
+
+    L = np.array([2 * np.pi] * 3)
+    rows = []
+
+    def bench(name, make, N, iters):
+        FFT = slab.R2C(np.array([N] * 3), L, None, "single")
+        solver, state = make(FFT)
+        t0 = time.perf_counter()
+        ms = _step_time(solver, state, iters)
+        rows.append({"model": name, "N": N, "ms_per_step": round(ms, 1),
+                     "combine": os.environ.get("MPIFFT4PY_TPU_COMBINE", "hier")})
+        print(json.dumps(rows[-1]), f"(wall {time.perf_counter()-t0:.0f}s)",
+              flush=True)
+        del FFT, solver, state
+
+    if mode == "--small":
+        N, iters = 256, 10
+        bench("NS3D", lambda F: (lambda s: (s, s.taylor_green()))(
+            NavierStokes3D(F, nu=1/1600, dt=0.002, dealias="2/3-rule",
+                           spectral_layout="packed")), N, iters)
+        bench("VV", lambda F: (lambda s: (s, s.taylor_green()))(
+            VorticityVelocity3D(F, nu=1/1600, dt=0.002, dealias="2/3-rule",
+                                spectral_layout="packed")), N, iters)
+        bench("MHD", lambda F: (lambda s: (s, s.taylor_green_mhd()))(
+            MHD3D(F, nu=1/1600, eta=1/1600, dt=0.002, dealias="2/3-rule",
+                  spectral_layout="packed")), N, iters)
+        bench("Boussinesq", lambda F: (lambda s: (s, s.taylor_green_stratified()))(
+            Boussinesq3D(F, nu=1/1600, kappa=1/1600, dt=0.002, Ri=0.5,
+                         dealias="2/3-rule", spectral_layout="packed")), N, iters)
+    elif mode == "--large":
+        bench("NS3D", lambda F: (lambda s: (s, s.taylor_green()))(
+            NavierStokes3D(F, nu=1/1600, dt=0.001, dealias="2/3-rule",
+                           spectral_layout="packed")), 512, 5)
+    elif mode == "--buoy512":
+        # the pending confirmation: 512-class buoyancy rider in-kernel
+        from mpifft4py_tpu.ops.pallas_fft3d import fft_x_epilogue_ok
+        print("fft_x_epilogue_ok(512, buoy=True) =",
+              fft_x_epilogue_ok(512, buoy=True), flush=True)
+        bench("Boussinesq-LSRK54", lambda F: (lambda s: (s, s.taylor_green_stratified()))(
+            Boussinesq3D(F, nu=1/1600, kappa=1/1600, dt=0.001, Ri=0.5,
+                         dealias="2/3-rule", spectral_layout="packed",
+                         integrator="LSRK54")), 512, 3)
+    print(json.dumps({"rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,8 +120,12 @@ def _karatsuba(ar, ai, br, bi):
 def _block_dft(G, w, r):
     """X_p = Σ_q w(p·q)·G_q across the list of (re, im) block values —
     recursive radix-2 Cooley–Tukey on the BLOCK index (direct for odd
-    factors: r=3 in practice).  ``w(j)`` returns the scalar w_r^j as an
-    ((1,1) re, (1,1) im) pair; w(0) is skipped (identity)."""
+    factors: r=3 in practice).  ``w(j)`` returns the scalar w_r^j as a
+    (re, im) pair of PYTHON floats — compile-time immediates, NOT (1,1)
+    table slices: Mosaic cannot lower a (1,1)->(m,TQ) vector broadcast on
+    hardware ("Broadcast in both sublanes and lanes", caught on-chip at
+    512-class r=4; radix-2 never calls w so 256-class masked it).  w(0) is
+    skipped (identity)."""
     if r == 1:
         return G
     if r % 2:                                   # direct odd-radix base
@@ -156,7 +160,7 @@ def _block_dft(G, w, r):
     return out
 
 
-def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
+def _factored_vals(xr, xi, wr, wi, crv, civ, r, m, sign):
     """Factored DIT over the sublane axis of 2D (n, TQ) VALUES; returns values.
 
     x[q::r] selection = reshape (n, TQ) -> (m, r, TQ)[:, q, :] (sublane split).
@@ -167,9 +171,10 @@ def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
     block), then an r-point DFT ACROSS blocks via radix-2 recursion
     (_block_dft).  vs the direct r² accumulation this cuts the VPU combine
     from ~8·r to ~(6 + ~7·log₂r) flops/element at r ∈ {4, 6, 8} — the
-    512/768/1024-class y/x stages (numbers in BENCH.md once measured on
-    chip).  Scalars w_r^j come from the same table
-    (rows (r+j)·m, k=0), so callers/constants are unchanged;
+    512/768/1024-class y/x stages (BENCH.md: 256³ DNS 60.2→53.4 ms/step on
+    chip).  Scalars w_r^j = exp(sign·2πi·j/r) are Python-float immediates
+    (``sign`` must match the table's): (1,1) table slices need a both-axes
+    Mosaic broadcast that fails hardware lowering (see _block_dft).
     MPIFFT4PY_TPU_COMBINE=direct restores the old path."""
     TQ = xr.shape[-1]
     Er, Ei = [], []
@@ -191,10 +196,9 @@ def _factored_vals(xr, xi, wr, wi, crv, civ, r, m):
             ci = civ[q * m:(q + 1) * m, :]
             G.append((cr * Er[q] - ci * Ei[q], cr * Ei[q] + ci * Er[q]))
 
-        def w(j):                              # w_r^j = table row (r+j)·m, k=0
-            j = j % r
-            return (crv[(r + j) * m:(r + j) * m + 1, :],
-                    civ[(r + j) * m:(r + j) * m + 1, :])
+        def w(j):                              # w_r^j, Python-float immediates
+            ang = sign * 2.0 * np.pi * (j % r) / r
+            return float(np.float32(np.cos(ang))), float(np.float32(np.sin(ang)))
 
         X = _block_dft(G, w, r)
         return (jnp.concatenate([x[0] for x in X], axis=0),
@@ -219,7 +223,7 @@ def _factored_fft_kernel(n, r, m, sign,
                          xr_ref, xi_ref, wr_ref, wi_ref, cr_ref, ci_ref,
                          or_ref, oi_ref):
     yr, yi = _factored_vals(xr_ref[0], xi_ref[0], wr_ref[...], wi_ref[...],
-                            cr_ref[...], ci_ref[...], r, m)
+                            cr_ref[...], ci_ref[...], r, m, sign)
     or_ref[0] = yr
     oi_ref[0] = yi
 
@@ -660,7 +664,7 @@ def _zpack_fft_kernel(h, r, m, x_ref, wr_ref, wi_ref, cr_ref, ci_ref,
     xt = x_ref[0].T                            # (n, TR): z on sublanes
     z = xt.reshape(h, 2, xt.shape[-1])         # even/odd sample split
     Zr, Zi = _factored_vals(z[:, 0, :], z[:, 1, :], wr_ref[...], wi_ref[...],
-                            cr_ref[...], ci_ref[...], r, m)
+                            cr_ref[...], ci_ref[...], r, m, -1)
     zr_ref[0] = Zr.T
     zi_ref[0] = Zi.T
 
@@ -670,7 +674,7 @@ def _zpack_ifft_kernel(h, r, m, zr_ref, zi_ref, wr_ref, wi_ref,
     Zr = zr_ref[0].T                           # (h, TR)
     Zi = zi_ref[0].T
     zr, zi = _factored_vals(Zr, Zi, wr_ref[...], wi_ref[...],
-                            cr_ref[...], ci_ref[...], r, m)
+                            cr_ref[...], ci_ref[...], r, m, +1)
     inv = jnp.float32(1.0 / h)
     y = jnp.stack([zr * inv, zi * inv], axis=1)  # re-interleave even/odd
     o_ref[0] = y.reshape(2 * h, zr.shape[-1]).T
@@ -839,7 +843,7 @@ def _fused_zy_fwd_kernel(r, m, x_ref, A_ref, B_ref, wr_ref, wi_ref,
     pr = _dot(u, A_ref[...])                  # (n1, h) packed re
     pi = _dot(u, B_ref[...])
     yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
-                            cr_ref[...], ci_ref[...], r, m)
+                            cr_ref[...], ci_ref[...], r, m, -1)
     or_ref[0] = yr
     oi_ref[0] = yi
 
@@ -847,7 +851,7 @@ def _fused_zy_fwd_kernel(r, m, x_ref, A_ref, B_ref, wr_ref, wi_ref,
 def _fused_zy_bwd_kernel(r, m, xr_ref, xi_ref, wr_ref, wi_ref,
                          cr_ref, ci_ref, C_ref, D_ref, o_ref):
     yr, yi = _factored_vals(xr_ref[0], xi_ref[0], wr_ref[...], wi_ref[...],
-                            cr_ref[...], ci_ref[...], r, m)
+                            cr_ref[...], ci_ref[...], r, m, +1)
     n1 = yr.shape[0]
     s = np.float32(1.0 / n1)                       # fold the y-ifft 1/n1 here
     o_ref[0] = (_dot(yr, C_ref[...])
@@ -1089,14 +1093,14 @@ def _curl_ifft_x_kernel(n, r, m, biot_savart, with_state, *refs):
         ar = -(K1c * u2i - K2c * u1i) * kinv
         ai = (K1c * u2r - K2c * u1r) * kinv
         yr, yi = _factored_vals(ar, ai, wr_ref[...], wi_ref[...],
-                                cr_ref[...], ci_ref[...], r, m)
+                                cr_ref[...], ci_ref[...], r, m, +1)
         or_ref[pl.ds(c, 1)] = yr[None]
         oi_ref[pl.ds(c, 1)] = yi[None]
         if with_state:   # plain x-inverse of the state rides the same pass
             yr, yi = _factored_vals(ur_ref[pl.ds(c, 1)][0] * inv,
                                     ui_ref[pl.ds(c, 1)][0] * inv,
                                     wr_ref[...], wi_ref[...],
-                                    cr_ref[...], ci_ref[...], r, m)
+                                    cr_ref[...], ci_ref[...], r, m, +1)
             sr_ref[pl.ds(c, 1)] = yr[None]
             si_ref[pl.ds(c, 1)] = yi[None]
         return 0
@@ -1213,7 +1217,7 @@ def _cross_zy_kernel(r, m, two, *refs):
         pr = _dot(f[c], A_ref[...])
         pi = _dot(f[c], Bm_ref[...])
         yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
-                                cr_ref[...], ci_ref[...], r, m)
+                                cr_ref[...], ci_ref[...], r, m, -1)
         or_ref[c, 0] = yr
         oi_ref[c, 0] = yi
 
@@ -1461,7 +1465,7 @@ def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
     def _xfft(c, _):
         yr, yi = _factored_vals(fr_ref[pl.ds(c, 1)][0], fi_ref[pl.ds(c, 1)][0],
                                 wr_ref[...], wi_ref[...], cr_ref[...],
-                                ci_ref[...], r, m)
+                                ci_ref[...], r, m, -1)
         Fr_s[pl.ds(c, 1)] = (yr * mask)[None]
         Fi_s[pl.ds(c, 1)] = (yi * mask)[None]
         return 0
@@ -1606,7 +1610,7 @@ def _mul_zy_kernel(r, m, a_ref, t_ref, A_ref, Bm_ref, wr_ref, wi_ref,
         pr = _dot(f, A_ref[...])
         pi = _dot(f, Bm_ref[...])
         yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
-                                cr_ref[...], ci_ref[...], r, m)
+                                cr_ref[...], ci_ref[...], r, m, -1)
         or_ref[c, 0] = yr
         oi_ref[c, 0] = yi
 
