@@ -341,7 +341,7 @@ def _fused_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
         def compute(idx, s):
             yr, yi = _factored_vals(vr_in[s], vi_in[s],
                                     wr_v[...], wi_v[...],
-                                    cr_v[...], ci_v[...], r, m)
+                                    cr_v[...], ci_v[...], r, m, -1)
             vr_out[s] = yr
             vi_out[s] = yi
 
@@ -482,7 +482,7 @@ def _fused_inv_kernel(P, nc, n0, np1, h, tq, r, m, axis_name, mesh_axes,
         def compute(idx, s):
             yr, yi = _factored_vals(vr_in[s], vi_in[s],
                                     wr_v[...], wi_v[...],
-                                    cr_v[...], ci_v[...], r, m)
+                                    cr_v[...], ci_v[...], r, m, +1)
             vr_out[s] = yr * inv
             vi_out[s] = yi * inv
 
@@ -645,7 +645,7 @@ def _fused_y_kernel(P, nc, n0, n1loc, w2, r, m, axis_name, mesh_axes,
 
         def compute(idx, s):
             yr, yi = _factored_vals(vr_in[s], vi_in[s], wr_v[...],
-                                    wi_v[...], cr_v[...], ci_v[...], r, m)
+                                    wi_v[...], cr_v[...], ci_v[...], r, m, -1)
             vr_out[s] = yr
             vi_out[s] = yi
 
@@ -763,7 +763,7 @@ def _fused_y_inv_kernel(P, nc, n0, n1, w2, r, m, axis_name, mesh_axes,
 
         def compute(idx, s):
             yr, yi = _factored_vals(vr_in[s], vi_in[s], wr_v[...],
-                                    wi_v[...], cr_v[...], ci_v[...], r, m)
+                                    wi_v[...], cr_v[...], ci_v[...], r, m, +1)
             vr_out[s] = yr * inv
             vi_out[s] = yi * inv
 
