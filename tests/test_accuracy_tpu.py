@@ -77,3 +77,35 @@ def test_rdma_kernels_lower_on_hardware():
         in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False))(*got)
     for g, x0 in zip(g2, (yr, yi)):
         assert float(jnp.abs(g - x0).max()) < 1e-5
+
+
+@tpu_only
+def test_factored_combine_lowers_at_r4_class():
+    """The factored DIT's cross-block combine must LOWER through Mosaic on
+    hardware at r >= 4 (512-class n).  Radix-2 (256-class) has no w() call
+    in _block_dft, so 256-class on-chip tests CANNOT catch a combine-scalar
+    lowering break: the round-3 (1,1)-table-slice form compiled and ran at
+    256-class but failed every 512/768/1024-class program with Mosaic
+    "Broadcast in both sublanes and lanes" (BENCH.md round-3 session 4).
+    This covers both combine signs (fwd/bwd) at n=512 (r=4, m=128)."""
+    import jax.numpy as jnp
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+
+    rng = np.random.default_rng(2)
+    # c2c planar axis FFT, both directions (sign -1/+1), r=4
+    xr = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    fr, fi = jax.jit(lambda a, b: p3.fft_axis_planar(a, b, axis=0))(xr, xi)
+    ref = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=0)
+    scale = np.abs(ref).max()
+    assert np.abs((np.asarray(fr) + 1j * np.asarray(fi)) - ref).max() / scale < 1e-5
+    br, bi = jax.jit(lambda a, b: p3.fft_axis_planar(a, b, axis=0,
+                                                     inverse=True))(fr, fi)
+    assert float(jnp.abs(br - xr).max()) < 1e-4
+    assert float(jnp.abs(bi - xi).max()) < 1e-4
+
+    # fused z+y kernels (fwd -1 / bwd +1) at 512-class planes
+    u = jnp.asarray(rng.standard_normal((1, 512, 512)).astype(np.float32))
+    zr, zi = jax.jit(p3.fused_zy_fwd)(u)
+    back = jax.jit(lambda a, b: p3.fused_zy_bwd(a, b, 512))(zr, zi)
+    assert float(jnp.abs(back - u).max()) < 1e-4
