@@ -1057,7 +1057,23 @@ def irfft3d(fu, s) -> jnp.ndarray:
 # the curl is computed in VMEM inside the x-stage kernel.  Planar semantics:
 # re(iK×Û) = −K×Ui, im(iK×Û) = K×Ur.
 
-def _curl_ifft_x_kernel(n, r, m, biot_savart, with_state, *refs):
+def _unroll_components(n0: int) -> bool:
+    """Static choice of the per-component loop form in the fused x-stage
+    kernels.  Unrolled (Python for, static indices) lets Mosaic pipeline the
+    three components' matmuls/DMAs but co-allocates every iteration's
+    _factored_vals temporaries on the scoped-VMEM stack — measured 16.85 M
+    (epilogue) / 18.65 M (curl, 768) vs the 16 M limit at 512-class+, so
+    512-class+ takes the fori_loop+scratch form instead.  The packed layout
+    admits only h%128==0 grids, so the boundary sits cleanly at 256.
+    MPIFFT4PY_TPU_UNROLL={0,1} overrides for measurement."""
+    import os
+    env = os.environ.get("MPIFFT4PY_TPU_UNROLL")
+    if env in ("0", "1"):
+        return env == "1"
+    return n0 <= 256
+
+
+def _curl_ifft_x_kernel(n, r, m, biot_savart, with_state, unroll, *refs):
     (ur_ref, ui_ref, k0_ref, k12_ref,
      wr_ref, wi_ref, cr_ref, ci_ref) = refs[:8]
     if with_state:
@@ -1067,21 +1083,46 @@ def _curl_ifft_x_kernel(n, r, m, biot_savart, with_state, *refs):
     K0 = k0_ref[...]                      # (n, 1), varies along sublanes (k0)
     K1 = k12_ref[0:1, :]                  # (1, tq) flattened (k1, k2) lanes
     K2 = k12_ref[1:2, :]
-    # stage the three K factors broadcast to (n, tq) in a VMEM scratch: the
-    # per-component loop below is a fori_loop (unrolling co-allocates every
-    # iteration's _factored_vals temporaries on the scoped-VMEM stack —
-    # 18.65 M measured at 768-class), and a dynamic component index can only
-    # address refs, not the heterogeneous-shape K values
-    z01 = K0 * jnp.float32(0.0)
-    kf_ref[0] = K0 + K1 * jnp.float32(0.0)
-    kf_ref[1] = K1 + z01
-    kf_ref[2] = K2 + z01
     inv = jnp.float32(1.0 / n)
     if biot_savart:  # û = i(K×ω̂)/|k|² — fold 1/k² into the curl factors
         ksq = K0 * K0 + K1 * K1 + K2 * K2
         kinv = inv / jnp.where(ksq == 0, 1.0, ksq)
     else:
         kinv = inv
+
+    if unroll:
+        # 256-class: static component indices — no K scratch staging, no
+        # fori_loop serialization; Mosaic pipelines the three components'
+        # matmuls and block DMAs freely.  VMEM-gated by curl_fused_ok
+        # (unrolling co-allocates all iterations' _factored_vals temps).
+        Ks = (K0, K1, K2)
+        for c in range(3):
+            c1, c2 = (c + 1) % 3, (c + 2) % 3
+            u1r, u1i = ur_ref[c1], ui_ref[c1]
+            u2r, u2i = ur_ref[c2], ui_ref[c2]
+            ar = -(Ks[c1] * u2i - Ks[c2] * u1i) * kinv
+            ai = (Ks[c1] * u2r - Ks[c2] * u1r) * kinv
+            yr, yi = _factored_vals(ar, ai, wr_ref[...], wi_ref[...],
+                                    cr_ref[...], ci_ref[...], r, m, +1)
+            or_ref[c] = yr
+            oi_ref[c] = yi
+            if with_state:
+                yr, yi = _factored_vals(ur_ref[c] * inv, ui_ref[c] * inv,
+                                        wr_ref[...], wi_ref[...],
+                                        cr_ref[...], ci_ref[...], r, m, +1)
+                sr_ref[c] = yr
+                si_ref[c] = yi
+        return
+
+    # 512-class+: fori_loop keeps one iteration's temporaries live at a
+    # time (unrolling measured 18.65 M scoped VMEM at 768-class).  Stage
+    # the three K factors broadcast to (n, tq) in a VMEM scratch — a
+    # dynamic component index can only address refs, not the
+    # heterogeneous-shape K values.
+    z01 = K0 * jnp.float32(0.0)
+    kf_ref[0] = K0 + K1 * jnp.float32(0.0)
+    kf_ref[1] = K1 + z01
+    kf_ref[2] = K2 + z01
 
     def body(c, _):
         c1 = lax.rem(c + 1, 3)
@@ -1153,7 +1194,7 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False,
     nout = 4 if with_state else 2
     fn = pl.pallas_call(
         partial(_curl_ifft_x_kernel, N0, r, m, bool(biot_savart),
-                bool(with_state)),
+                bool(with_state), _unroll_components(N0)),
         grid=(postf // tq,),
         in_specs=[bx, bx,
                   c2((N0, 1), lambda q: (0, 0)),
@@ -1443,7 +1484,7 @@ def cross_rfft_zy_packed(a, b, c=None, d=None):
               jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
 
 
-def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
+def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, unroll, *refs):
     if ri is not None:                    # buoyancy rider (project mode)
         (fr_ref, fi_ref, sr_ref, si_ref, tr_ref, ti_ref,
          k0_ref, k12_ref, wr_ref, wi_ref, cr_ref, ci_ref,
@@ -1458,23 +1499,37 @@ def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, *refs):
     M12 = k12_ref[2:3, :]
     mask = M0 * M12                       # (n, tq) 0/1 floats
 
-    # x-FFT the three components in a fori_loop staging into VMEM scratch:
-    # unrolling co-allocates every iteration's _factored_vals temporaries on
-    # the scoped-VMEM stack (the buoyancy-rider variant measured 16.85 M >
-    # the 16 M limit at 512-class when unrolled; staged it fits)
-    def _xfft(c, _):
-        yr, yi = _factored_vals(fr_ref[pl.ds(c, 1)][0], fi_ref[pl.ds(c, 1)][0],
-                                wr_ref[...], wi_ref[...], cr_ref[...],
-                                ci_ref[...], r, m, -1)
-        Fr_s[pl.ds(c, 1)] = (yr * mask)[None]
-        Fi_s[pl.ds(c, 1)] = (yi * mask)[None]
-        return 0
+    # x-FFT the three components.  256-class: unrolled with the results held
+    # as VALUES (no scratch round-trip; Mosaic pipelines the components).
+    # 512-class+: fori_loop staging into VMEM scratch — unrolling
+    # co-allocates every iteration's _factored_vals temporaries on the
+    # scoped-VMEM stack (the buoyancy-rider variant measured 16.85 M > the
+    # 16 M limit at 512-class when unrolled; staged it fits).
+    if unroll:
+        F = []
+        for c in range(3):
+            yr, yi = _factored_vals(fr_ref[c], fi_ref[c],
+                                    wr_ref[...], wi_ref[...], cr_ref[...],
+                                    ci_ref[...], r, m, -1)
+            F.append((yr * mask, yi * mask))
+        if ri is not None:                # F̂₂ += Ri·θ̂ BEFORE projection
+            F[2] = (F[2][0] + jnp.float32(ri) * tr_ref[0],
+                    F[2][1] + jnp.float32(ri) * ti_ref[0])
+    else:
+        def _xfft(c, _):
+            yr, yi = _factored_vals(fr_ref[pl.ds(c, 1)][0],
+                                    fi_ref[pl.ds(c, 1)][0],
+                                    wr_ref[...], wi_ref[...], cr_ref[...],
+                                    ci_ref[...], r, m, -1)
+            Fr_s[pl.ds(c, 1)] = (yr * mask)[None]
+            Fi_s[pl.ds(c, 1)] = (yi * mask)[None]
+            return 0
 
-    jax.lax.fori_loop(0, 3, _xfft, 0)
-    if ri is not None:                    # F̂₂ += Ri·θ̂ BEFORE projection
-        Fr_s[2] += jnp.float32(ri) * tr_ref[0]
-        Fi_s[2] += jnp.float32(ri) * ti_ref[0]
-    F = [(Fr_s[c], Fi_s[c]) for c in range(3)]
+        jax.lax.fori_loop(0, 3, _xfft, 0)
+        if ri is not None:                # F̂₂ += Ri·θ̂ BEFORE projection
+            Fr_s[2] += jnp.float32(ri) * tr_ref[0]
+            Fi_s[2] += jnp.float32(ri) * ti_ref[0]
+        F = [(Fr_s[c], Fi_s[c]) for c in range(3)]
     ksq = K0 * K0 + K1 * K1 + K2 * K2
     Ks = (K0, K1, K2)
     nu = jnp.float32(visc)
@@ -1587,7 +1642,8 @@ def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
            c2((r * r * m, 1), lambda q: (0, 0)),
            c2((r * r * m, 1), lambda q: (0, 0))]
     fn = pl.pallas_call(
-        partial(_fft_x_epilogue_kernel, N0, r, m, mode, float(visc), ri),
+        partial(_fft_x_epilogue_kernel, N0, r, m, mode, float(visc), ri,
+                _unroll_components(N0)),
         grid=(postf // tq,),
         in_specs=in_specs,
         out_specs=[bk(ns), bk(ns)],
