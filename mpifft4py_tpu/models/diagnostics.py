@@ -13,6 +13,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _packed_k2(FFT, k2):
+    """The packed pair's per-lane k2 values: the natural 0..h−1 vector
+    permuted when the FFT's packed interface rides the DIF z-stage
+    (FFT.packed_z_perm).  The lane-0 weight rule is order-invariant
+    (perm[0] == 0 — the rider lane stays first)."""
+    perm = getattr(FFT, "packed_z_perm", None)
+    return k2 if perm is None else k2[perm]
+
+
 def _hermitian_weights(FFT):
     """Weights over the last spectral axis.
 
@@ -69,7 +78,7 @@ def energy_spectrum_packed(FFT, pair) -> np.ndarray:
     ntot = float(np.prod(N))
     k0 = jnp.asarray(np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32))
     k1 = jnp.asarray(np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32))
-    k2 = jnp.asarray(np.arange(h, dtype=np.float32))
+    k2 = jnp.asarray(_packed_k2(FFT, np.arange(h, dtype=np.float32)))
     w = jnp.asarray(np.where(np.arange(h) == 0, 1.0, 2.0).astype(np.float32))
 
     def spec(sr, si, k0, k1, k2, w):
@@ -107,7 +116,7 @@ def dissipation_packed(FFT, pair, nu: float) -> float:
     s = 2 * np.pi / np.asarray(FFT.L)
     k0 = jnp.asarray((np.fft.fftfreq(N[0], 1.0 / N[0]) * s[0]).astype(np.float32))
     k1 = jnp.asarray((np.fft.fftfreq(N[1], 1.0 / N[1]) * s[1]).astype(np.float32))
-    k2 = jnp.asarray((np.arange(h) * s[2]).astype(np.float32))
+    k2 = jnp.asarray(_packed_k2(FFT, (np.arange(h) * s[2]).astype(np.float32)))
     w = jnp.asarray(np.where(np.arange(h) == 0, 1.0, 2.0).astype(np.float32))
 
     def eps(sr, si, k0, k1, k2, w):

@@ -208,7 +208,7 @@ class SpectralSolver:
             return fn(*args)
         n1, n2 = A.shape[2], A.shape[3]
         if p3.cross_zy_ok(n1, n2, C is not None):
-            Fzr, Fzi = p3.cross_rfft_zy_packed(A, B, C, D)
+            Fzr, Fzi = p3.cross_rfft_zy_packed(A, B, C, D, dif=True)
         else:
             F = jnp.stack([A[1] * B[2] - A[2] * B[1],
                            A[2] * B[0] - A[0] * B[2],
@@ -232,7 +232,7 @@ class SpectralSolver:
             fn = self._nl_dist_plan("div", visc, "mul", None)
             return fn(A, t, Sr, Si, k0, k1, k2, m0, m1, m2)
         if p3.cross_zy_ok(A.shape[2], A.shape[3]):
-            Gzr, Gzi = p3.mul_rfft_zy_packed(A, t)
+            Gzr, Gzi = p3.mul_rfft_zy_packed(A, t, dif=True)
         else:
             Gzr, Gzi = self._zy_fwd_pk(A * t)
         dr, di = p3.fft_x_epilogue_packed(Gzr, Gzi, Sr, Si, k0, k1, k2,
@@ -244,8 +244,8 @@ class SpectralSolver:
         pair (the first two thirds of rfft3d_packed)."""
         from ..ops import pallas_fft3d as p3
         if p3._use_fused_zy(F.shape[-2], F.shape[-1]):
-            return p3.fused_zy_fwd(F)
-        yr, yi = p3.rfft_last_packed(F)
+            return p3.fused_zy_fwd(F, dif=True)
+        yr, yi = p3.rfft_last_packed(F, dif=True)
         return p3.fft_axis_planar(yr, yi, axis=F.ndim - 2)
 
     def _bwd_state_curl_pk(self, Vr, Vi, k0, k1, k2,
@@ -260,7 +260,7 @@ class SpectralSolver:
             W, V = p3.curl_irfft3d_packed(Vr, Vi, k0, k1, k2,
                                           self.FFT.global_real_shape(),
                                           biot_savart=biot_savart,
-                                          with_state=True)
+                                          with_state=True, dif=True)
             return V, W
         return (self._bwd_pk((Vr, Vi)),
                 self._curl_bwd_pk(Vr, Vi, k0, k1, k2, biot_savart))
@@ -273,7 +273,7 @@ class SpectralSolver:
         if getattr(self, "_curl_fused", False):
             return p3.curl_irfft3d_packed(Vr, Vi, k0, k1, k2,
                                           self.FFT.global_real_shape(),
-                                          biot_savart=biot_savart)
+                                          biot_savart=biot_savart, dif=True)
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]
@@ -304,6 +304,9 @@ class SpectralSolver:
         k0 = np.fft.fftfreq(N[0], 1.0 / N[0]).astype(np.float32)
         k1 = np.fft.fftfreq(N[1], 1.0 / N[1]).astype(np.float32)
         k2 = np.arange(h, dtype=np.float32)
+        perm = getattr(FFT, "packed_z_perm", None)
+        if perm is not None:        # DIF z-stage: lanes in zdif_perm order
+            k2 = k2[perm]
         c = dealias_cutoffs(FFT.N)
         m0 = np.abs(k0) < c[0]
         m1 = np.abs(k1) < c[1]
@@ -321,11 +324,22 @@ class SpectralSolver:
         nf = int(getattr(self.FFT, "Nf", U_hat.shape[-1]))
         if U_hat.shape[-1] > nf:
             U_hat = U_hat[..., :nf]
-        return p3.pack_spectrum(U_hat)
+        br, bi = p3.pack_spectrum(U_hat)
+        perm = getattr(self.FFT, "packed_z_perm", None)
+        if perm is not None:        # natural -> DIF lane order (setup-time
+            p = jnp.asarray(perm)   # conversion boundary, not a hot path)
+            br, bi = jnp.take(br, p, axis=-1), jnp.take(bi, p, axis=-1)
+        return br, bi
 
     def from_packed(self, U):
         from ..ops import pallas_fft3d as p3
-        return p3.unpack_spectrum(U[0], U[1])
+        from ..ops.pallas_zdif import zdif_iperm
+        ur, ui = U
+        perm = getattr(self.FFT, "packed_z_perm", None)
+        if perm is not None:        # DIF -> natural lane order
+            ip = jnp.asarray(zdif_iperm(2 * ur.shape[-1]))
+            ur, ui = jnp.take(ur, ip, axis=-1), jnp.take(ui, ip, axis=-1)
+        return p3.unpack_spectrum(ur, ui)
 
     def step_fn_packed(self):
         """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1,

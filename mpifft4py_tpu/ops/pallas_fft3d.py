@@ -549,11 +549,31 @@ def _packed_irdft_cs(n: int):
     return C.astype(np.float32), D.astype(np.float32)
 
 
-def rfft_last_packed(x):
-    """real (…, n) -> packed planar (re, im), shape (…, n/2)."""
+def _zdif_on(n: int, dif: bool) -> bool:
+    """Whether a packed z-stage call rides the DIF-split kernels
+    (ops.pallas_zdif — k-decimated lane order, ``zdif_perm``).  ``dif`` is
+    the caller's layout choice: True only from the packed INTERFACE (whose
+    spectral lane order is free); the complex API boundary always passes
+    False and keeps the natural-order dense kernels."""
+    if not dif:
+        return False
+    from . import pallas_zdif as zd
+    return zd.zdif_active(n)
+
+
+def rfft_last_packed(x, dif: bool = False):
+    """real (…, n) -> packed planar (re, im), shape (…, n/2).
+
+    ``dif=True`` (packed-interface callers only): ride the DIF-split z-stage
+    where gated (512/768/1024-class) — 2/r of the dense MXU cost, output in
+    ``pallas_zdif.zdif_perm`` lane order (consumers permute their k2/m2
+    vectors; lane 0 stays the plane-0 rider)."""
     n = x.shape[-1]
     h = n // 2
     assert h % 128 == 0, f"packed layout needs (n/2) % 128 == 0, got n={n}"
+    if _zdif_on(n, dif):
+        from . import pallas_zdif as zd
+        return zd.rfft_last_zdif(x)
     if _zfact_ok(n):
         return _rfft_last_packed_fact(x)
     R = int(np.prod(x.shape[:-1], dtype=np.int64))
@@ -760,10 +780,14 @@ def _ipacked_kernel(xr_ref, xi_ref, cr_ref, ci_ref, o_ref):
                 + _dot(xi_ref[0], ci_ref[...]))
 
 
-def irfft_last_packed(xr, xi, n: int):
-    """packed planar (…, n/2) -> real (…, n)."""
+def irfft_last_packed(xr, xi, n: int, dif: bool = False):
+    """packed planar (…, n/2) -> real (…, n).  ``dif=True``: the input pair
+    is in DIF lane order (see rfft_last_packed)."""
     h = n // 2
     assert xr.shape[-1] == h and h % 128 == 0
+    if _zdif_on(n, dif):
+        from . import pallas_zdif as zd
+        return zd.irfft_last_zdif(xr, xi, n)
     if _zfact_ok(n):
         return _irfft_last_packed_fact(xr, xi, n)
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
@@ -858,7 +882,38 @@ def _fused_zy_bwd_kernel(r, m, xr_ref, xi_ref, wr_ref, wi_ref,
                 + _dot(yi, D_ref[...])) * s
 
 
-def fused_zy_fwd(u):
+def _fused_zy_dif_fwd_kernel(ry, m, rz, x_ref, ma_ref, mb_ref, mc_ref,
+                             md_ref, wr_ref, wi_ref, cr_ref, ci_ref,
+                             or_ref, oi_ref):
+    """DIF z-stage + factored y-FFT in one VMEM residency (the dif mirror of
+    _fused_zy_fwd_kernel; output lanes in zdif_perm order)."""
+    from .pallas_zdif import zdif_fwd_slots
+    slots = zdif_fwd_slots(x_ref[0], ma_ref, mb_ref, mc_ref, md_ref, rz)
+    pr = jnp.concatenate([s[0] for s in slots], axis=-1)
+    pi = jnp.concatenate([s[1] for s in slots], axis=-1)
+    yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], ry, m, -1)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _fused_zy_dif_bwd_kernel(ry, m, rz, xr_ref, xi_ref, wr_ref, wi_ref,
+                             cr_ref, ci_ref, a_ref, b_ref, c_ref, d_ref,
+                             o_ref):
+    from .pallas_zdif import zdif_bwd_slices, _M
+    yr, yi = _factored_vals(xr_ref[0], xi_ref[0], wr_ref[...], wi_ref[...],
+                            cr_ref[...], ci_ref[...], ry, m, +1)
+    s = np.float32(1.0 / yr.shape[0])              # fold the y-ifft 1/n1 here
+    yr = yr * s
+    yi = yi * s
+    sv = [(yr[:, p * _M:(p + 1) * _M], yi[:, p * _M:(p + 1) * _M])
+          for p in range(rz // 2)]
+    for c, xc in enumerate(zdif_bwd_slices(sv, a_ref, b_ref, c_ref, d_ref,
+                                           rz)):
+        o_ref[0, :, c * _M:(c + 1) * _M] = xc
+
+
+def fused_zy_fwd(u, dif: bool = False):
     """real (…, N1, N2) -> packed planar (…, N1, N2/2) with y already
     transformed: one kernel, one HBM pass (vs rfft_last + fft_axis).
     Leading dims (x-slab rows, field components) batch into the grid."""
@@ -869,63 +924,87 @@ def fused_zy_fwd(u):
     assert h % 128 == 0
     r, m = _factor(N1)
     assert r <= 8 and m >= 8
-    A, B = _packed_rdft_cs(N2)
     wr, wi = _dft_cs(m, -1)
     cr, ci = _combine_cs(N1, r, m, -1)
     bx = pl.BlockSpec((1, N1, N2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bo = pl.BlockSpec((1, N1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
+    if _zdif_on(N2, dif):
+        from . import pallas_zdif as zd
+        rz = N2 // zd._M
+        mats = [jnp.asarray(t) for t in zd._zdif_fwd_mats(N2)]
+        kern = partial(_fused_zy_dif_fwd_kernel, r, m, rz)
+        zspecs = [c2((rz // 2, zd._M, zd._M))] * 4
+        zflops = 4 * zd._M * h + 2 * rz * N2
+    else:
+        A, B = _packed_rdft_cs(N2)
+        mats = [jnp.asarray(A), jnp.asarray(B)]
+        kern = partial(_fused_zy_fwd_kernel, r, m)
+        zspecs = [c2((N2, h))] * 2
+        zflops = 2 * 2 * N2 * h
     fn = pl.pallas_call(
-        partial(_fused_zy_fwd_kernel, r, m),
+        kern,
         grid=(N0,),
-        in_specs=[bx, c2((N2, h)), c2((N2, h)), c2((m, m)), c2((m, m)),
-                  c2((r * r * m, 1)), c2((r * r * m, 1))],
+        in_specs=[bx] + zspecs + [c2((m, m)), c2((m, m)),
+                                  c2((r * r * m, 1)), c2((r * r * m, 1))],
         out_specs=[bo, bo],
         out_shape=[jax.ShapeDtypeStruct((N0, N1, h), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=2 * N0 * N1 * (2 * N2 * h + 3 * m * m * r) // 1,
+            flops=N0 * N1 * (zflops + 2 * 3 * m * m * r),
             bytes_accessed=(N0 * N1 * N2 + 2 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
-    yr, yi = fn(u.astype(jnp.float32), jnp.asarray(A), jnp.asarray(B),
+    yr, yi = fn(u.astype(jnp.float32), *mats,
                 jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
                 jnp.asarray(ci))
     out_shp = shp[:-1] + (h,)
     return yr.reshape(out_shp), yi.reshape(out_shp)
 
 
-def fused_zy_bwd(yr, yi, n2: int):
+def fused_zy_bwd(yr, yi, n2: int, dif: bool = False):
     """packed planar (…, N1, n2/2) -> real (…, N1, n2); inverse y-fft and
-    packed z-irfft fused in one kernel.  Leading dims batch into the grid."""
+    packed z-irfft fused in one kernel.  Leading dims batch into the grid.
+    ``dif=True``: input pair lanes are in zdif_perm order."""
     shp = yr.shape
     yr = yr.reshape((-1,) + shp[-2:])
     yi = yi.reshape((-1,) + shp[-2:])
     N0, N1, h = yr.shape
     assert h == n2 // 2 and h % 128 == 0
     r, m = _factor(N1)
-    C, D = _packed_irdft_cs(n2)
     wr, wi = _dft_cs(m, +1)
     cr, ci = _combine_cs(N1, r, m, +1)
     bx = pl.BlockSpec((1, N1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     bo = pl.BlockSpec((1, N1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
+    if _zdif_on(n2, dif):
+        from . import pallas_zdif as zd
+        rz = n2 // zd._M
+        mats = [jnp.asarray(t) for t in zd._zdif_bwd_mats(n2)]
+        kern = partial(_fused_zy_dif_bwd_kernel, r, m, rz)
+        zspecs = [c2((rz // 2, zd._M, zd._M))] * 4
+        zflops = 4 * zd._M * h + 2 * rz * n2
+    else:
+        C, D = _packed_irdft_cs(n2)
+        mats = [jnp.asarray(C), jnp.asarray(D)]
+        kern = partial(_fused_zy_bwd_kernel, r, m)
+        zspecs = [c2((h, n2))] * 2
+        zflops = 2 * 2 * n2 * h
     fn = pl.pallas_call(
-        partial(_fused_zy_bwd_kernel, r, m),
+        kern,
         grid=(N0,),
         in_specs=[bx, bx, c2((m, m)), c2((m, m)),
-                  c2((r * r * m, 1)), c2((r * r * m, 1)),
-                  c2((h, n2)), c2((h, n2))],
+                  c2((r * r * m, 1)), c2((r * r * m, 1))] + zspecs,
         out_specs=bo,
         out_shape=jax.ShapeDtypeStruct((N0, N1, n2), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * N0 * N1 * (2 * n2 * h + 3 * m * m * r),
+            flops=N0 * N1 * (zflops + 2 * 3 * m * m * r),
             bytes_accessed=(N0 * N1 * n2 + 2 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
     y = fn(yr, yi, jnp.asarray(wr), jnp.asarray(wi),
-           jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(C), jnp.asarray(D))
+           jnp.asarray(cr), jnp.asarray(ci), *mats)
     return y.reshape(shp[:-1] + (n2,))
 
 
@@ -942,25 +1021,26 @@ def _use_packed(n2: int) -> bool:
     return (n2 // 2) % 128 == 0
 
 
-def rfft3d_packed(u):
+def rfft3d_packed(u, dif: bool = False):
     """real (…,N0,N1,N2) -> packed planar spectral (re, im), (…,N0,N1,N2/2).
 
     Leading dims (e.g. velocity components) are batched — one kernel chain
-    transforms the whole stack."""
+    transforms the whole stack.  ``dif=True`` (packed-interface callers):
+    z lanes leave in zdif_perm order where the DIF z-stage is gated."""
     if _use_fused_zy(u.shape[-2], u.shape[-1]):
-        yr, yi = fused_zy_fwd(u)                   # z+y in one HBM pass
+        yr, yi = fused_zy_fwd(u, dif=dif)          # z+y in one HBM pass
     else:
-        yr, yi = rfft_last_packed(u)
+        yr, yi = rfft_last_packed(u, dif=dif)
         yr, yi = fft_axis_planar(yr, yi, axis=u.ndim - 2)
     return fft_axis_planar(yr, yi, axis=u.ndim - 3)
 
 
-def irfft3d_packed(yr, yi, s):
+def irfft3d_packed(yr, yi, s, dif: bool = False):
     yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 3, inverse=True)
     if _use_fused_zy(s[-2], s[-1]):
-        return fused_zy_bwd(yr, yi, s[-1])
+        return fused_zy_bwd(yr, yi, s[-1], dif=dif)
     yr, yi = fft_axis_planar(yr, yi, axis=yr.ndim - 2, inverse=True)
-    return irfft_last_packed(yr, yi, s[-1])
+    return irfft_last_packed(yr, yi, s[-1], dif=dif)
 
 
 def rfft3d_planar(u):
@@ -1166,7 +1246,7 @@ def curl_fused_ok(n0: int, with_state: bool = False) -> bool:
 
 
 def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False,
-                        with_state: bool = False):
+                        with_state: bool = False, dif: bool = False):
     """W = irfft3d_packed of i K × Û for a packed planar state (3, N0, N1, h).
 
     ``k0, k1, k2`` are the 1-D scaled wavenumber vectors (the solver's
@@ -1217,9 +1297,9 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False,
         yr = yr.reshape(3, N0, N1, h)
         yi = yi.reshape(3, N0, N1, h)
         if _use_fused_zy(s[-2], s[-1]):
-            return fused_zy_bwd(yr, yi, s[-1])
+            return fused_zy_bwd(yr, yi, s[-1], dif=dif)
         yr, yi = fft_axis_planar(yr, yi, axis=2, inverse=True)
-        return irfft_last_packed(yr, yi, s[-1])
+        return irfft_last_packed(yr, yi, s[-1], dif=dif)
 
     if with_state:
         return _zy(outs[0], outs[1]), _zy(outs[2], outs[3])
@@ -1238,13 +1318,42 @@ def curl_irfft3d_packed(ur, ui, k0, k1, k2, s, biot_savart: bool = False,
 # Mosaic has no rev); purify_plane0_dus applies it as a k2=0-column update.
 # ---------------------------------------------------------------------------
 
-def _cross_zy_kernel(r, m, two, *refs):
+def _zfwd_vals(f, zrefs, rz):
+    """Packed z forward of a (rows, n2) real VALUE inside a kernel: dense
+    matmul pair (``zrefs`` = (A, Bm) refs, ``rz`` = 0) or the DIF split
+    (``zrefs`` = the 4 stacked slot-matrix refs, ``rz`` = n2/128 > 0).
+    Returns the (rows, h) planar pair (DIF: zdif_perm lane order)."""
+    if rz:
+        from .pallas_zdif import zdif_fwd_slots
+        slots = zdif_fwd_slots(f, *zrefs, rz)
+        return (jnp.concatenate([s[0] for s in slots], axis=-1),
+                jnp.concatenate([s[1] for s in slots], axis=-1))
+    A_ref, Bm_ref = zrefs
+    return _dot(f, A_ref[...]), _dot(f, Bm_ref[...])
+
+
+def _zfwd_consts(n2: int, dif: bool):
+    """Host-side constants for ``_zfwd_vals``: (rz, device mats, spec
+    shapes).  rz = 0 selects the dense pair."""
+    if _zdif_on(n2, dif):
+        from . import pallas_zdif as zd
+        rz = n2 // zd._M
+        mats = [jnp.asarray(t) for t in zd._zdif_fwd_mats(n2)]
+        return rz, mats, [(rz // 2, zd._M, zd._M)] * 4
+    A, Bm = _packed_rdft_cs(n2)
+    return 0, [jnp.asarray(A), jnp.asarray(Bm)], [(n2, n2 // 2)] * 2
+
+
+def _cross_zy_kernel(r, m, two, rz, *refs):
+    nz = 4 if rz else 2
     if two:
-        (a_ref, b_ref, c_ref, d_ref, A_ref, Bm_ref, wr_ref, wi_ref,
-         cr_ref, ci_ref, or_ref, oi_ref) = refs
+        a_ref, b_ref, c_ref, d_ref = refs[:4]
+        refs = refs[4:]
     else:
-        (a_ref, b_ref, A_ref, Bm_ref, wr_ref, wi_ref,
-         cr_ref, ci_ref, or_ref, oi_ref) = refs
+        a_ref, b_ref = refs[:2]
+        refs = refs[2:]
+    zrefs = refs[:nz]
+    wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref = refs[nz:]
     a0, a1, a2 = a_ref[0, 0], a_ref[1, 0], a_ref[2, 0]
     b0, b1, b2 = b_ref[0, 0], b_ref[1, 0], b_ref[2, 0]
     f = [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0]
@@ -1255,8 +1364,7 @@ def _cross_zy_kernel(r, m, two, *refs):
         f[1] = f[1] + (c2 * d0 - c0 * d2)
         f[2] = f[2] + (c0 * d1 - c1 * d0)
     for c in range(3):
-        pr = _dot(f[c], A_ref[...])
-        pi = _dot(f[c], Bm_ref[...])
+        pr, pi = _zfwd_vals(f[c], zrefs, rz)
         yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
                                 cr_ref[...], ci_ref[...], r, m, -1)
         or_ref[c, 0] = yr
@@ -1309,14 +1417,19 @@ def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
             or _pick_tk_acc(n1, n2, 12 if two else 6) is not None)
 
 
-def _cross_zy_acc_kernel(r, m, K, op, *refs):
+def _cross_zy_acc_kernel(r, m, K, op, rz, bt, *refs):
     if op == "cross2":
         a_ref, b_ref, c_ref, d_ref = refs[:4]
         rest = refs[4:]
     else:
         a_ref, b_ref = refs[:2]
         rest = refs[2:]
-    A_ref, Bm_ref, wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref = rest
+    if rz:
+        (ma_ref, mb_ref, mc_ref, md_ref, tcc_ref, tss_ref,
+         wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref) = rest
+        S = rz // 2
+    else:
+        A_ref, Bm_ref, wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref = rest
     k = pl.program_id(1)
 
     # Everything below runs inside fori_loops (not unrolled python loops):
@@ -1337,23 +1450,79 @@ def _cross_zy_acc_kernel(r, m, K, op, *refs):
                      - c_ref[pl.ds(c2, 1)][0, 0] * d_ref[pl.ds(c1, 1)][0, 0])
         return f
 
-    def _acc(c, _):
-        fc = _cross_at(c)
-        pr = _dot(fc, A_ref[...])[None, None]
-        pi = _dot(fc, Bm_ref[...])[None, None]
+    if rz:
+        # DIF z split: the tile's lane blocks enter the butterfly only —
+        # slot p's two REAL accumulators (la, lb) live in the out refs'
+        # lanes [p·128, (p+1)·128) (or = la, oi = lb; the S slots tile h
+        # exactly).  Block index cz = k·bt + j is TRACED, so the butterfly
+        # coefficients stream as (1, 128) rows of the (rz·S, 128) tables
+        # (sublane-only broadcast — the (1,1) form does not lower).
+        def _acc(c, _):
+            fc = _cross_at(c)
+            for j in range(bt):
+                y = fc[:, j * 128:(j + 1) * 128]
+                base = (k * bt + j) * S
+                for p in range(S):
+                    cc = tcc_ref[pl.ds(base + p, 1)]
+                    ss = tss_ref[pl.ds(base + p, 1)]
+                    pr = (cc * y)[None, None]
+                    pi = (ss * y)[None, None]
+                    lanes = pl.ds(p * 128, 128)
+                    if j == 0:
+                        @pl.when(k == 0)
+                        def _(pr=pr, pi=pi, lanes=lanes):
+                            or_ref[pl.ds(c, 1), :, :, lanes] = pr
+                            oi_ref[pl.ds(c, 1), :, :, lanes] = pi
 
-        @pl.when(k == 0)
-        def _():
-            or_ref[pl.ds(c, 1)] = pr
-            oi_ref[pl.ds(c, 1)] = pi
+                        @pl.when(k != 0)
+                        def _(pr=pr, pi=pi, lanes=lanes):
+                            or_ref[pl.ds(c, 1), :, :, lanes] += pr
+                            oi_ref[pl.ds(c, 1), :, :, lanes] += pi
+                    else:
+                        or_ref[pl.ds(c, 1), :, :, lanes] += pr
+                        oi_ref[pl.ds(c, 1), :, :, lanes] += pi
+            return 0
+    else:
+        def _acc(c, _):
+            fc = _cross_at(c)
+            pr = _dot(fc, A_ref[...])[None, None]
+            pi = _dot(fc, Bm_ref[...])[None, None]
 
-        @pl.when(k != 0)
-        def _():
-            or_ref[pl.ds(c, 1)] += pr
-            oi_ref[pl.ds(c, 1)] += pi
-        return 0
+            @pl.when(k == 0)
+            def _():
+                or_ref[pl.ds(c, 1)] = pr
+                oi_ref[pl.ds(c, 1)] = pi
+
+            @pl.when(k != 0)
+            def _():
+                or_ref[pl.ds(c, 1)] += pr
+                oi_ref[pl.ds(c, 1)] += pi
+            return 0
 
     jax.lax.fori_loop(0, 3, _acc, 0)
+
+    if rz:
+        @pl.when(k == K - 1)       # butterfly complete: per-slot DFT matmuls
+        def _():
+            def _slots(c, _):
+                def _one(p, _):
+                    lanes = pl.ds(p * 128, 128)
+                    la = or_ref[pl.ds(c, 1), :, :, lanes][0, 0]
+                    lb = oi_ref[pl.ds(c, 1), :, :, lanes][0, 0]
+                    ma = ma_ref[pl.ds(p, 1)][0]
+                    mb = mb_ref[pl.ds(p, 1)][0]
+                    mc = mc_ref[pl.ds(p, 1)][0]
+                    md = md_ref[pl.ds(p, 1)][0]
+                    sr = _dot(la, ma) + _dot(lb, mb)
+                    si = _dot(la, mc) + _dot(lb, md)
+                    or_ref[pl.ds(c, 1), :, :, lanes] = sr[None, None]
+                    oi_ref[pl.ds(c, 1), :, :, lanes] = si[None, None]
+                    return 0
+
+                jax.lax.fori_loop(0, S, _one, 0)
+                return 0
+
+            jax.lax.fori_loop(0, 3, _slots, 0)
 
     @pl.when(k == K - 1)                   # z contraction complete: y-FFT
     def _():
@@ -1396,13 +1565,41 @@ def _cross_zy_acc_kernel(r, m, K, op, *refs):
         jax.lax.fori_loop(0, 3, _yfft, 0)
 
 
-def _cross_rfft_zy_acc(ins, op):
+@lru_cache(maxsize=None)
+def _zdif_acc_tables(n: int):
+    """Butterfly-coefficient tables for the z-tiled DIF accumulate: rows
+    (cz·S + p) of (rz·S, 128) hold w_rz^{−p·cz} as lane-constant (cos, sin)
+    rows — the traced block index cz addresses REFS, and the (1, 128) row ×
+    (N1, 128) block multiply is a sublane-only broadcast (the (1, 1) scalar
+    form does not lower on hardware).  Bitwise-equal to zdif_fwd_slots'
+    Python-float immediates (same _wr rounding)."""
+    from .pallas_zdif import _wr, _M
+    rz = n // _M
+    S = rz // 2
+    tcc = np.zeros((rz * S, 128), np.float32)
+    tss = np.zeros_like(tcc)
+    for c in range(rz):
+        for p in range(S):
+            if p == 0:
+                cc, ss = 1.0, float((-1.0) ** c)
+            else:
+                cc, ss = _wr(p, c, rz, -1)
+            tcc[c * S + p, :] = cc
+            tss[c * S + p, :] = ss
+    return tcc, tss
+
+
+def _cross_rfft_zy_acc(ins, op, dif: bool = False):
     """z-tiled accumulating variant of the fused cross/mul+z/y forward for
     plane sizes whose full operand set exceeds VMEM (512³-class).  The grid
     is (N0, N2/tk): each step crosses/multiplies a z-tile of the operands and
     accumulates its partial z-DFT into the resident output pair; the y-FFT
     runs in-place on the final step.  Same HBM traffic as the one-shot
-    kernel, plus re-streaming the (N2, h) DFT matrices once per x-slab."""
+    kernel, plus re-streaming the (N2, h) DFT matrices once per x-slab.
+    ``dif=True`` (where gated): the tile contributes VPU butterfly terms to
+    the slot accumulators instead of dense partial matmuls; the per-slot
+    (128 × 128) DFT matmuls run once on the final step — 2/rz of the dense
+    MXU cost, output lanes in zdif_perm order."""
     nin = {"cross": 6, "cross2": 12, "mul": 4}[op]
     _, N0, N1, N2 = ins[0].shape
     h = N2 // 2
@@ -1410,7 +1607,6 @@ def _cross_rfft_zy_acc(ins, op):
     assert tk is not None, (N1, N2, op)
     K = N2 // tk
     r, m = _factor(N1)
-    A, Bm = _packed_rdft_cs(N2)
     wr, wi = _dft_cs(m, -1)
     cr, ci = _combine_cs(N1, r, m, -1)
     bx = lambda nc: pl.BlockSpec((nc, 1, N1, tk), lambda i, k: (0, i, 0, k),
@@ -1420,40 +1616,57 @@ def _cross_rfft_zy_acc(ins, op):
     bA = pl.BlockSpec((tk, h), lambda i, k: (k, 0), memory_space=pltpu.VMEM)
     c2 = lambda shape: pl.BlockSpec(shape, lambda i, k: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
+    if _zdif_on(N2, dif):
+        from . import pallas_zdif as zd
+        rz = N2 // zd._M
+        bt = tk // zd._M
+        tcc, tss = _zdif_acc_tables(N2)
+        zmats = [jnp.asarray(t) for t in zd._zdif_fwd_mats(N2)] \
+            + [jnp.asarray(tcc), jnp.asarray(tss)]
+        zspecs = [c2((rz // 2, zd._M, zd._M))] * 4 \
+            + [c2(tcc.shape), c2(tss.shape)]
+        zflops = 4 * zd._M * h + 2 * rz * N2
+    else:
+        rz = bt = 0
+        A, Bm = _packed_rdft_cs(N2)
+        zmats = [jnp.asarray(A), jnp.asarray(Bm)]
+        zspecs = [bA, bA]
+        zflops = 2 * N2 * h
     in_specs = [bx(x.shape[0]) for x in ins] \
-        + [bA, bA, c2((m, m)), c2((m, m)),
-           c2((r * r * m, 1)), c2((r * r * m, 1))]
+        + zspecs + [c2((m, m)), c2((m, m)),
+                    c2((r * r * m, 1)), c2((r * r * m, 1))]
     fn = pl.pallas_call(
-        partial(_cross_zy_acc_kernel, r, m, K, op),
+        partial(_cross_zy_acc_kernel, r, m, K, op, rz, bt),
         grid=(N0, K),
         in_specs=in_specs,
         out_specs=[bo, bo],
         out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
-            flops=3 * N0 * N1 * (2 * N2 * h + 3 * m * m * r)
+            flops=3 * N0 * N1 * (zflops + 3 * m * m * r)
             + nin * N0 * N1 * N2,
             bytes_accessed=(nin * N0 * N1 * N2 + 2 * 3 * N0 * N1 * h
                             + 2 * N0 * N2 * h) * 4,
             transcendentals=0),
     )
-    return fn(*[x.astype(jnp.float32) for x in ins],
-              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
-              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+    return fn(*[x.astype(jnp.float32) for x in ins], *zmats,
+              jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+              jnp.asarray(ci))
 
 
-def cross_rfft_zy_packed(a, b, c=None, d=None):
+def cross_rfft_zy_packed(a, b, c=None, d=None, dif: bool = False):
     """(A×B [+ C×D]) with the packed z-rfft + y-FFT fused behind it — the
     cross-product field never materialises in HBM.  Inputs physical
     (3, N0, N1, N2); returns the packed planar pair (3, N0, N1, h) with z and
-    y transformed (x pending — feed fft_x_epilogue_packed)."""
+    y transformed (x pending — feed fft_x_epilogue_packed).  ``dif=True``:
+    z lanes leave in zdif_perm order where the DIF z-stage is gated."""
     two = c is not None
     _, N0, N1, N2 = a.shape
     h = N2 // 2
     if not _cross_zy_oneshot_ok(N1, N2, two):
         return _cross_rfft_zy_acc([a, b, c, d] if two else [a, b],
-                                  "cross2" if two else "cross")
+                                  "cross2" if two else "cross", dif=dif)
     r, m = _factor(N1)
-    A, Bm = _packed_rdft_cs(N2)
+    rz, zmats, zshapes = _zfwd_consts(N2, dif)
     wr, wi = _dft_cs(m, -1)
     cr, ci = _combine_cs(N1, r, m, -1)
     bx = pl.BlockSpec((3, 1, N1, N2), lambda i: (0, i, 0, 0),
@@ -1465,11 +1678,10 @@ def cross_rfft_zy_packed(a, b, c=None, d=None):
     ins = [a, b] + ([c, d] if two else [])
     nin = len(ins)
     fn = pl.pallas_call(
-        partial(_cross_zy_kernel, r, m, two),
+        partial(_cross_zy_kernel, r, m, two, rz),
         grid=(N0,),
-        in_specs=[bx] * nin + [c2((N2, h)), c2((N2, h)), c2((m, m)),
-                               c2((m, m)), c2((r * r * m, 1)),
-                               c2((r * r * m, 1))],
+        in_specs=[bx] * nin + [c2(s) for s in zshapes]
+        + [c2((m, m)), c2((m, m)), c2((r * r * m, 1)), c2((r * r * m, 1))],
         out_specs=[bo, bo],
         out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
@@ -1479,9 +1691,9 @@ def cross_rfft_zy_packed(a, b, c=None, d=None):
                             + 2 * 3 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
-    return fn(*[x.astype(jnp.float32) for x in ins],
-              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
-              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+    return fn(*[x.astype(jnp.float32) for x in ins], *zmats,
+              jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+              jnp.asarray(ci))
 
 
 def _fft_x_epilogue_kernel(n, r, m, mode, visc, ri, unroll, *refs):
@@ -1658,29 +1870,31 @@ def fft_x_epilogue_packed(fzr, fzi, sr, si, k0, k1, k2, m0, m1, m2,
     return yr.reshape(ns, N0, N1, h), yi.reshape(ns, N0, N1, h)
 
 
-def _mul_zy_kernel(r, m, a_ref, t_ref, A_ref, Bm_ref, wr_ref, wi_ref,
-                   cr_ref, ci_ref, or_ref, oi_ref):
+def _mul_zy_kernel(r, m, rz, *refs):
+    nz = 4 if rz else 2
+    a_ref, t_ref = refs[:2]
+    zrefs = refs[2:2 + nz]
+    wr_ref, wi_ref, cr_ref, ci_ref, or_ref, oi_ref = refs[2 + nz:]
     t = t_ref[0, 0]
     for c in range(3):
         f = a_ref[c, 0] * t
-        pr = _dot(f, A_ref[...])
-        pi = _dot(f, Bm_ref[...])
+        pr, pi = _zfwd_vals(f, zrefs, rz)
         yr, yi = _factored_vals(pr, pi, wr_ref[...], wi_ref[...],
                                 cr_ref[...], ci_ref[...], r, m, -1)
         or_ref[c, 0] = yr
         oi_ref[c, 0] = yi
 
 
-def mul_rfft_zy_packed(a, t):
+def mul_rfft_zy_packed(a, t, dif: bool = False):
     """(a_c·t) for a 3-stack ``a`` and scalar field ``t`` (1, N0, N1, N2)
     with the packed z-rfft + y-FFT fused behind it — the flux field u·θ
     never materialises in HBM (Boussinesq scalar advection)."""
     _, N0, N1, N2 = a.shape
     h = N2 // 2
     if not _cross_zy_oneshot_ok(N1, N2):
-        return _cross_rfft_zy_acc([a, t], "mul")
+        return _cross_rfft_zy_acc([a, t], "mul", dif=dif)
     r, m = _factor(N1)
-    A, Bm = _packed_rdft_cs(N2)
+    rz, zmats, zshapes = _zfwd_consts(N2, dif)
     wr, wi = _dft_cs(m, -1)
     cr, ci = _combine_cs(N1, r, m, -1)
     bx = pl.BlockSpec((3, 1, N1, N2), lambda i: (0, i, 0, 0),
@@ -1692,10 +1906,10 @@ def mul_rfft_zy_packed(a, t):
     c2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                     memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
-        partial(_mul_zy_kernel, r, m),
+        partial(_mul_zy_kernel, r, m, rz),
         grid=(N0,),
-        in_specs=[bx, bt, c2((N2, h)), c2((N2, h)), c2((m, m)), c2((m, m)),
-                  c2((r * r * m, 1)), c2((r * r * m, 1))],
+        in_specs=[bx, bt] + [c2(s) for s in zshapes]
+        + [c2((m, m)), c2((m, m)), c2((r * r * m, 1)), c2((r * r * m, 1))],
         out_specs=[bo, bo],
         out_shape=[jax.ShapeDtypeStruct((3, N0, N1, h), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
@@ -1704,16 +1918,21 @@ def mul_rfft_zy_packed(a, t):
             bytes_accessed=(4 * N0 * N1 * N2 + 2 * 3 * N0 * N1 * h) * 4,
             transcendentals=0),
     )
-    return fn(a.astype(jnp.float32), t.astype(jnp.float32),
-              jnp.asarray(A), jnp.asarray(Bm), jnp.asarray(wr),
-              jnp.asarray(wi), jnp.asarray(cr), jnp.asarray(ci))
+    return fn(a.astype(jnp.float32), t.astype(jnp.float32), *zmats,
+              jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(cr),
+              jnp.asarray(ci))
 
 
-def _cross_z_kernel(op, *refs):
+def _cross_z_kernel(op, rz, *refs):
+    nz = 4 if rz else 2
     if op == "cross2":
-        a_ref, b_ref, c_ref, d_ref, A_ref, Bm_ref, or_ref, oi_ref = refs
+        a_ref, b_ref, c_ref, d_ref = refs[:4]
+        refs = refs[4:]
     else:
-        a_ref, b_ref, A_ref, Bm_ref, or_ref, oi_ref = refs
+        a_ref, b_ref = refs[:2]
+        refs = refs[2:]
+    zrefs = refs[:nz]
+    or_ref, oi_ref = refs[nz:]
     if op == "mul":
         t = b_ref[0]
         f = [a_ref[0] * t, a_ref[1] * t, a_ref[2] * t]
@@ -1728,8 +1947,7 @@ def _cross_z_kernel(op, *refs):
             f[1] = f[1] + (c2 * d0 - c0 * d2)
             f[2] = f[2] + (c0 * d1 - c1 * d0)
     for c in range(3):
-        or_ref[c] = _dot(f[c], A_ref[...])
-        oi_ref[c] = _dot(f[c], Bm_ref[...])
+        or_ref[c], oi_ref[c] = _zfwd_vals(f[c], zrefs, rz)
 
 
 def _crossz_pick_tr(nstk: int, n: int, R: int):
@@ -1752,23 +1970,23 @@ def cross_z_ok(n2: int, R: int, two: bool = False, mul: bool = False) -> bool:
     return _crossz_pick_tr(nstk, n2, R) is not None
 
 
-def cross_rfft_z_packed(a, b, c=None, d=None):
+def cross_rfft_z_packed(a, b, c=None, d=None, dif: bool = False):
     """(A×B [+ C×D]) with ONLY the packed z-rfft fused behind it (no y
     stage) — the shard-local first leg of the pencil WIDE fused nonlinear
     path, where y is sharded and transforms after the P2 transpose.  Inputs
     physical (3, …, N2); returns the packed planar pair (3, …, N2/2)."""
     two = c is not None
     return _cross_rfft_z(([a, b, c, d] if two else [a, b]),
-                         "cross2" if two else "cross")
+                         "cross2" if two else "cross", dif=dif)
 
 
-def mul_rfft_z_packed(a, t):
+def mul_rfft_z_packed(a, t, dif: bool = False):
     """(a_c·t) with only the packed z-rfft fused behind it — the wide-layout
     scalar-flux mirror of cross_rfft_z_packed."""
-    return _cross_rfft_z([a, t], "mul")
+    return _cross_rfft_z([a, t], "mul", dif=dif)
 
 
-def _cross_rfft_z(ins, op):
+def _cross_rfft_z(ins, op, dif: bool = False):
     n = ins[0].shape[-1]
     h = n // 2
     lead = ins[0].shape[1:-1]
@@ -1776,17 +1994,18 @@ def _cross_rfft_z(ins, op):
     nstk = {"cross": 6, "cross2": 12, "mul": 4}[op]
     tr = _crossz_pick_tr(nstk, n, R)
     assert tr is not None, (n, R, op)
-    A, Bm = _packed_rdft_cs(n)
+    rz, zmats, zshapes = _zfwd_consts(n, dif)
     xs = [x.astype(jnp.float32).reshape(x.shape[0], R, n) for x in ins]
     bx = lambda nc: pl.BlockSpec((nc, tr, n), lambda q: (0, q, 0),
                                  memory_space=pltpu.VMEM)
     bo = pl.BlockSpec((3, tr, h), lambda q: (0, q, 0),
                       memory_space=pltpu.VMEM)
-    c2 = pl.BlockSpec((n, h), lambda q: (0, 0), memory_space=pltpu.VMEM)
+    c2 = lambda shape: pl.BlockSpec(shape, lambda q: (0,) * len(shape),
+                                    memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
-        partial(_cross_z_kernel, op),
+        partial(_cross_z_kernel, op, rz),
         grid=(R // tr,),
-        in_specs=[bx(x.shape[0]) for x in xs] + [c2, c2],
+        in_specs=[bx(x.shape[0]) for x in xs] + [c2(s) for s in zshapes],
         out_specs=[bo, bo],
         out_shape=[jax.ShapeDtypeStruct((3, R, h), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
@@ -1794,7 +2013,7 @@ def _cross_rfft_z(ins, op):
             bytes_accessed=(nstk * R * n + 2 * 3 * R * h) * 4,
             transcendentals=0),
     )
-    yr, yi = fn(*xs, jnp.asarray(A), jnp.asarray(Bm))
+    yr, yi = fn(*xs, *zmats)
     shp = (3,) + lead + (h,)
     return yr.reshape(shp), yi.reshape(shp)
 

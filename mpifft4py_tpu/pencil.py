@@ -360,10 +360,11 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
         R = a.shape[1] * a.shape[2]
         n2 = a.shape[-1]
         if p3.cross_z_ok(n2, R, two=two, mul=mul):
-            fzr, fzi = (p3.mul_rfft_z_packed(a, b) if mul
-                        else p3.cross_rfft_z_packed(a, b, c, d))
+            fzr, fzi = (p3.mul_rfft_z_packed(a, b, dif=True) if mul
+                        else p3.cross_rfft_z_packed(a, b, c, d, dif=True))
         else:
-            fzr, fzi = p3.rfft_last_packed(self._xla_cross(a, b, c, d, op))
+            fzr, fzi = p3.rfft_last_packed(self._xla_cross(a, b, c, d, op),
+                                           dif=True)
         pair = self._stage((fzr, fzi), AXIS2, 1, 2,
                            lambda t: p3.fft_axis_planar(t[0], t[1], axis=2),
                            pipeline_axis=3)
@@ -407,6 +408,9 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
         k0 = local_wavenumber_full(N0, N0, 0, jnp.float32)
         k1 = local_wavenumber_full(N1, n1, r, jnp.float32)
         k2 = jnp.arange(h, dtype=jnp.float32)
+        perm = self.packed_z_perm
+        if perm is not None:
+            k2 = k2[jnp.asarray(perm)]
         return ((jnp.abs(k0)[:, None, None] < c[0])
                 & (jnp.abs(k1)[None, :, None] < c[1])
                 & (k2[None, None, :] < c[2]))
@@ -435,7 +439,7 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
             return _PackedDist1D._fwd_local_packed(self, u, dealias)
         from .ops import pallas_fft3d as p3
         off = u.ndim - 3
-        yr, yi = p3.rfft_last_packed(u)
+        yr, yi = p3.rfft_last_packed(u, dif=True)
         pair = self._stage((yr, yi), AXIS2, off, 1 + off,
                            lambda t: p3.fft_axis_planar(t[0], t[1],
                                                         axis=1 + off),
@@ -468,8 +472,8 @@ class _Pencil3D(_PackedDist1D, BaseFFT):
             pair, AXIS2, 1 + off, off, pipeline_axis=2 + off,
             pre_fn=lambda t: p3.fft_axis_planar(t[0], t[1], axis=1 + off,
                                                 inverse=True))
-        return p3.irfft_last_packed(pair[0], pair[1],
-                                    int(self.N[2])).astype(self.float)
+        return p3.irfft_last_packed(pair[0], pair[1], int(self.N[2]),
+                                    dif=True).astype(self.float)
 
     def _z_fwd_planar(self, u):
         """Local z-stage of the planar MXU pipeline (R2C: rectangular real

@@ -66,24 +66,38 @@ class _PackedDist1D:
 
     # -- packed pipeline stages (ndim 3 or 4: optional leading component axis) --
 
-    def _packed_zy_fwd(self, u):
+    @property
+    def packed_z_perm(self):
+        """lane → k2 map of the PACKED interface's last spectral axis, or
+        None when it is the natural 0..h−1 order.  The DIF-split z-stage
+        (ops.pallas_zdif, 512/768/1024-class N2) leaves the packed pair in
+        zdif_perm lane order — consumers permute their 1-D k2/m2 vectors
+        once (lane 0 stays the plane-0 rider either way).  The complex API
+        (fftn/ifftn) is always natural-order; this is a packed-interface-
+        only layout property, like the packed pair itself."""
+        from .ops.pallas_zdif import zdif_active, zdif_perm
+        n2 = int(self.N[2])
+        return zdif_perm(n2) if zdif_active(n2) else None
+
+    def _packed_zy_fwd(self, u, dif: bool = False):
         """real (…, Np0, N1, N2) -> packed planar pair (…, Np0, N1, h),
-        z and y axes transformed."""
+        z and y axes transformed.  ``dif=True`` from packed-interface
+        callers only (z lanes leave in packed_z_perm order where gated)."""
         from .ops import pallas_fft3d as p3
         if p3._use_fused_zy(int(self.N[1]), int(self.N[2])):
-            return p3.fused_zy_fwd(u)
-        yr, yi = p3.rfft_last_packed(u)
+            return p3.fused_zy_fwd(u, dif=dif)
+        yr, yi = p3.rfft_last_packed(u, dif=dif)
         return p3.fft_axis_planar(yr, yi, axis=u.ndim - 2)
 
-    def _packed_zy_bwd(self, yr, yi):
+    def _packed_zy_bwd(self, yr, yi, dif: bool = False):
         """packed pair (…, Np0, N1, h) -> real (…, Np0, N1, N2): inverse y
         then packed z-irfft."""
         from .ops import pallas_fft3d as p3
         N2 = int(self.N[2])
         if p3._use_fused_zy(int(self.N[1]), N2):
-            return p3.fused_zy_bwd(yr, yi, N2).astype(self.float)
+            return p3.fused_zy_bwd(yr, yi, N2, dif=dif).astype(self.float)
         yr, yi = p3.fft_axis_planar(yr, yi, axis=yr.ndim - 2, inverse=True)
-        return p3.irfft_last_packed(yr, yi, N2).astype(self.float)
+        return p3.irfft_last_packed(yr, yi, N2, dif=dif).astype(self.float)
 
     def _packed_x_fwd(self, yr, yi):
         """(…, Np0, N1, h) -> (…, N0, Np1, h): transpose over ``_dist_axis``
@@ -294,11 +308,12 @@ class _PackedDist1D:
         mul, two = op == "mul", op == "cross2"
         n1, n2 = a.shape[-2], a.shape[-1]
         if mul and p3.cross_zy_ok(n1, n2):
-            fzr, fzi = p3.mul_rfft_zy_packed(a, b)
+            fzr, fzi = p3.mul_rfft_zy_packed(a, b, dif=True)
         elif not mul and p3.cross_zy_ok(n1, n2, two):
-            fzr, fzi = p3.cross_rfft_zy_packed(a, b, c, d)
+            fzr, fzi = p3.cross_rfft_zy_packed(a, b, c, d, dif=True)
         else:
-            fzr, fzi = self._packed_zy_fwd(self._xla_cross(a, b, c, d, op))
+            fzr, fzi = self._packed_zy_fwd(self._xla_cross(a, b, c, d, op),
+                                           dif=True)
         return self._stage((fzr, fzi), self._dist_axis, 2, 1,
                            pipeline_axis=3)
 
@@ -310,22 +325,36 @@ class _PackedDist1D:
         return (dr.at[..., 0].set(0.5 * (qr + cr2)),
                 di.at[..., 0].set(0.5 * (qi + ci2)))
 
+    def _packed_mask_local(self, h):
+        """2/3-rule mask over the local packed pair (last axis = h lanes in
+        the packed interface's z order: packed_z_perm applied to the 1-D k2
+        factor BEFORE the broadcast — never a lane gather on the field)."""
+        k0, k1, k2 = self._k_local(jnp.float32)
+        k2p = k2[:h]
+        perm = self.packed_z_perm
+        if perm is not None:
+            k2p = k2p[jnp.asarray(perm)]
+        c = dealias_cutoffs(self.N)
+        return ((jnp.abs(k0)[:, None, None] < c[0])
+                & (jnp.abs(k1)[None, :, None] < c[1])
+                & (jnp.abs(k2p)[None, None, :] < c[2]))
+
     def _fwd_local_packed(self, u, dealias):
-        yr, yi = self._packed_zy_fwd(u)
+        yr, yi = self._packed_zy_fwd(u, dif=True)
         yr, yi = self._packed_x_fwd(yr, yi)
         if dealias == "2/3-rule":
             yr, yi = self._purify_plane0_dist(yr, yi)
-            m = self._dealias_local()[..., :yr.shape[-1]]
+            m = self._packed_mask_local(yr.shape[-1])
             yr, yi = jnp.where(m, yr, 0), jnp.where(m, yi, 0)
         return yr, yi
 
     def _bwd_local_packed(self, pair, dealias):
         yr, yi = pair
         if dealias == "2/3-rule":
-            m = self._dealias_local()[..., :yr.shape[-1]]
+            m = self._packed_mask_local(yr.shape[-1])
             yr, yi = jnp.where(m, yr, 0), jnp.where(m, yi, 0)
         yr, yi = self._packed_x_bwd(yr, yi)
-        return self._packed_zy_bwd(yr, yi)
+        return self._packed_zy_bwd(yr, yi, dif=True)
 
     def _packed_dispatch(self, local, in_builder, out_builder):
         """shard_map'd variants cached per input ndim (3 = single field,
@@ -368,10 +397,10 @@ class _PackedDist1D:
         from .ops import pallas_fft3d as p3
         if self._packed_gate_is_serial(dealias):
             def fwd(u):
-                yr, yi = p3.rfft3d_packed(u)
+                yr, yi = p3.rfft3d_packed(u, dif=True)
                 if dealias == "2/3-rule":
                     yr, yi = p3.purify_plane0(yr, yi)
-                    m = self._dealias_local()[..., :yr.shape[-1]]
+                    m = self._packed_mask_local(yr.shape[-1])
                     yr, yi = jnp.where(m, yr, 0), jnp.where(m, yi, 0)
                 return yr, yi
             return fwd
@@ -390,9 +419,9 @@ class _PackedDist1D:
             def bwd(pair):
                 yr, yi = pair
                 if dealias == "2/3-rule":
-                    m = self._dealias_local()[..., :yr.shape[-1]]
+                    m = self._packed_mask_local(yr.shape[-1])
                     yr, yi = jnp.where(m, yr, 0), jnp.where(m, yi, 0)
-                return p3.irfft3d_packed(yr, yi, s).astype(self.float)
+                return p3.irfft3d_packed(yr, yi, s, dif=True).astype(self.float)
             return bwd
         local = lambda pair: self._bwd_local_packed(pair, dealias)
         spec = lambda extra: P(*extra, *self._packed_spec())

@@ -109,9 +109,12 @@ def validate(FFT, seed: int = 0) -> Dict[str, float]:
             lambda a, b: jnp.max(jnp.abs(a - b))
             / jnp.maximum(jnp.max(jnp.abs(b)), 1e-30))(up, um))
         h = int(FFT.N[-1]) // 2
+        perm = getattr(FFT, "packed_z_perm", None)
 
         def body_agree(pr, pi, fu_m):
             fc = fu_m[..., :h]
+            if perm is not None:   # DIF z-order interface: permute the oracle
+                fc = jnp.take(fc, jnp.asarray(perm), axis=-1)
             d = jnp.maximum(jnp.max(jnp.abs(fc)), 1e-30)
             return jnp.maximum(jnp.max(jnp.abs(pr - jnp.real(fc))),
                                jnp.max(jnp.abs(pi - jnp.imag(fc)))) / d

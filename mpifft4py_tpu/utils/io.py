@@ -96,8 +96,10 @@ def save_state(path: str, FFT, U_hat, step: int = 0, t: float = 0.0,
         # complex carry, which must go through the gather path below
         ur = np.asarray(jax.device_get(U_hat[0]))   # float pair: relay-safe
         ui = np.asarray(jax.device_get(U_hat[1]))
+        dif = getattr(FFT, "packed_z_perm", None) is not None
         if jax.process_index() == 0:
             np.savez_compressed(path, U_re=ur, U_im=ui, packed=True,
+                                z_order="dif" if dif else "natural",
                                 step=step, t=t, N=np.asarray(FFT.N),
                                 precision=FFT.policy.precision, **extra)
         return
@@ -120,6 +122,16 @@ def load_state(path: str, FFT):
                 raise ValueError(
                     f"checkpoint grid {tuple(meta['N'])} != transform grid "
                     f"{tuple(FFT.N)}")
+            # reconcile the packed z lane order with the target FFT's
+            # (checkpoints saved before the DIF z-stage carry no z_order
+            # field — that means natural)
+            saved = str(meta.get("z_order", "natural"))
+            perm = getattr(FFT, "packed_z_perm", None)
+            want = "dif" if perm is not None else "natural"
+            if saved != want:
+                from ..ops.pallas_zdif import zdif_iperm
+                ix = perm if want == "dif" else zdif_iperm(2 * ur.shape[-1])
+                ur, ui = ur[..., ix], ui[..., ix]
             sh = _packed_sharding(FFT, ur.ndim)
             return ((jax.device_put(ur.astype(np.float32), sh),
                      jax.device_put(ui.astype(np.float32), sh)), meta)
