@@ -128,8 +128,17 @@ class MHD3D(SpectralSolver):
                               A[2] * B[0] - A[0] * B[2],
                               A[0] * B[1] - A[1] * B[0]])
 
+        from ..ops import pallas_fft3d as p3
         Ur, Ui = UBr[:3], UBi[:3]
         Br, Bi = UBr[3:], UBi[3:]
+        if (getattr(self, "_nl_fused", False)
+                and not p3.cross2_direct_ok(int(self.FFT.N[1]),
+                                            int(self.FFT.N[2]))
+                and p3.cross_zy_ok(int(self.FFT.N[1]), int(self.FFT.N[2]))):
+            # 512-class serial: cross2 splits into two passes — sequence the
+            # four physical stacks so at most three are co-live (the naive
+            # RHS peaked 21.3 GB > 15.75 at 512³, BENCH.md round 3)
+            return self._rhs_packed_seq(UBr, UBi, k0, k1, k2, m0, m1, m2)
         U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)  # ω = iK×û
         B, J = self._bwd_state_curl_pk(Br, Bi, k0, k1, k2)  # j = iK×b̂
         if self._nl_any_fused:
@@ -158,6 +167,35 @@ class MHD3D(SpectralSolver):
         # induction: iK×F̂b → (re, im) = (−K×Im F̂b, K×Re F̂b)
         dBr = -kx(Fbi) - self.eta * ksq[None] * Br
         dBi = kx(Fbr) - self.eta * ksq[None] * Bi
+        return (jnp.concatenate([dUr, dBr]), jnp.concatenate([dUi, dBi]))
+
+    def _rhs_packed_seq(self, UBr, UBi, k0, k1, k2, m0, m1, m2):
+        """Peak-HBM-sequenced serial fused MHD RHS for grids where the
+        12-field cross2 kernel finds no VMEM tile (512-class): the U×ω pass
+        COMPLETES (optimization_barrier) before b/j materialise, so at most
+        three physical 3-stacks are co-live instead of four, and ω/j die as
+        soon as their cross consumes them.  Identical arithmetic to the
+        fused branch of rhs_packed (the z/y forward is linear:
+        Ẑ(U×ω) + Ẑ(j×b) = Ẑ(U×ω + j×b))."""
+        from jax import lax
+
+        from ..ops import pallas_fft3d as p3
+        Ur, Ui = UBr[:3], UBi[:3]
+        Br, Bi = UBr[3:], UBi[3:]
+        kargs = (k0, k1, k2, m0, m1, m2)
+        U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)
+        P1r, P1i = p3.cross_rfft_zy_packed(U, W, dif=True)   # Ẑ(u×ω); ω dies
+        P1r, P1i, Brs, Bis = lax.optimization_barrier((P1r, P1i, Br, Bi))
+        B, J = self._bwd_state_curl_pk(Brs, Bis, k0, k1, k2)
+        P2r, P2i = p3.cross_rfft_zy_packed(J, B, dif=True)   # Ẑ(j×b); j dies
+        dUr, dUi = p3.fft_x_epilogue_packed(P1r + P2r, P1i + P2i, Ur, Ui,
+                                            *kargs, "project", self.nu)
+        dUr, dUi = p3.purify_plane0_dus(dUr, dUi)
+        # induction last: only U, B still live among the physical stacks
+        Fbr, Fbi = p3.cross_rfft_zy_packed(U, B, dif=True)
+        dBr, dBi = p3.fft_x_epilogue_packed(Fbr, Fbi, Br, Bi, *kargs,
+                                            "curl", self.eta)
+        dBr, dBi = p3.purify_plane0_dus(dBr, dBi)
         return (jnp.concatenate([dUr, dBr]), jnp.concatenate([dUi, dBi]))
 
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver

@@ -1411,10 +1411,24 @@ def _pick_tk_acc(n1: int, n2: int, nin: int):
 
 def cross_zy_ok(n1: int, n2: int, two: bool = False) -> bool:
     """True when SOME fused cross+z/y kernel serves (n1, n2) planes: the
-    one-shot kernel (256³-class) or the z-tiled accumulating kernel
-    (512³-class)."""
-    return (_cross_zy_oneshot_ok(n1, n2, two)
-            or _pick_tk_acc(n1, n2, 12 if two else 6) is not None)
+    one-shot kernel (256³-class), the z-tiled accumulating kernel
+    (512³-class), or — for the 12-field cross2 where neither fits — the
+    SPLIT route (two 6-field single-cross passes summed; the z/y forward is
+    linear, so Ẑ(A×B) + Ẑ(C×D) = Ẑ(A×B + C×D))."""
+    ok1 = (_cross_zy_oneshot_ok(n1, n2, False)
+           or _pick_tk_acc(n1, n2, 6) is not None)
+    if not two:
+        return ok1
+    return cross2_direct_ok(n1, n2) or ok1
+
+
+def cross2_direct_ok(n1: int, n2: int) -> bool:
+    """True when the 12-field cross2 fits a fused kernel DIRECTLY (one-shot
+    or accumulating); False → cross_rfft_zy_packed takes the 2-pass split
+    (MHD at 512-class planes).  Models use this to sequence their physical
+    stacks for peak-HBM when the split engages."""
+    return (_cross_zy_oneshot_ok(n1, n2, True)
+            or _pick_tk_acc(n1, n2, 12) is not None)
 
 
 def _cross_zy_acc_kernel(r, m, K, op, rz, bt, *refs):
@@ -1662,6 +1676,14 @@ def cross_rfft_zy_packed(a, b, c=None, d=None, dif: bool = False):
     two = c is not None
     _, N0, N1, N2 = a.shape
     h = N2 // 2
+    if two and not cross2_direct_ok(N1, N2):
+        # 512-class cross2 (12 input fields) fits no VMEM tile — run the two
+        # 6-field crosses separately and sum the pairs (linearity of the z/y
+        # forward).  One extra pair add ≈ 2.4 ms HBM at 512³ vs the XLA
+        # fallback's full F materialisation.
+        fr, fi = cross_rfft_zy_packed(a, b, dif=dif)
+        gr, gi = cross_rfft_zy_packed(c, d, dif=dif)
+        return fr + gr, fi + gi
     if not _cross_zy_oneshot_ok(N1, N2, two):
         return _cross_rfft_zy_acc([a, b, c, d] if two else [a, b],
                                   "cross2" if two else "cross", dif=dif)
@@ -1967,7 +1989,11 @@ def cross_z_ok(n2: int, R: int, two: bool = False, mul: bool = False) -> bool:
     if (n2 // 2) % 128 != 0:
         return False
     nstk = 4 if mul else (12 if two else 6)
-    return _crossz_pick_tr(nstk, n2, R) is not None
+    if _crossz_pick_tr(nstk, n2, R) is not None:
+        return True
+    # 12-field cross2 with no tile: the split route (two 6-field passes
+    # summed) serves whenever the single cross does.
+    return two and not mul and _crossz_pick_tr(6, n2, R) is not None
 
 
 def cross_rfft_z_packed(a, b, c=None, d=None, dif: bool = False):
@@ -1976,6 +2002,13 @@ def cross_rfft_z_packed(a, b, c=None, d=None, dif: bool = False):
     path, where y is sharded and transforms after the P2 transpose.  Inputs
     physical (3, …, N2); returns the packed planar pair (3, …, N2/2)."""
     two = c is not None
+    if two:
+        n = a.shape[-1]
+        R = int(np.prod(a.shape[1:-1], dtype=np.int64))
+        if _crossz_pick_tr(12, n, R) is None:
+            fr, fi = _cross_rfft_z([a, b], "cross", dif=dif)
+            gr, gi = _cross_rfft_z([c, d], "cross", dif=dif)
+            return fr + gr, fi + gi
     return _cross_rfft_z(([a, b, c, d] if two else [a, b]),
                          "cross2" if two else "cross", dif=dif)
 
