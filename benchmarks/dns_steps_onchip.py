@@ -78,6 +78,24 @@ def main():
         bench("NS3D", lambda F: (lambda s: (s, s.taylor_green()))(
             NavierStokes3D(F, nu=1/1600, dt=0.001, dealias="2/3-rule",
                            spectral_layout="packed")), 512, 5)
+    elif mode == "--mhd512":
+        # VERDICT r4 item 3: 512³ MHD on one chip — split cross2 (two
+        # accumulating 6-field passes) + peak-HBM-sequenced RHS
+        # (_rhs_packed_seq) + LSRK54 2N storage
+        from mpifft4py_tpu.ops.pallas_fft3d import cross2_direct_ok, cross_zy_ok
+        print("cross2_direct_ok(512,512) =", cross2_direct_ok(512, 512),
+              "cross_zy_ok(512,512,two=True) =", cross_zy_ok(512, 512, True),
+              flush=True)
+        bench("MHD-LSRK54", lambda F: (lambda s: (s, s.taylor_green_mhd()))(
+            MHD3D(F, nu=1/1600, eta=1/1600, dt=0.001, dealias="2/3-rule",
+                  spectral_layout="packed", integrator="LSRK54")), 512, 3)
+    elif mode == "--ns768":
+        # VERDICT r4 item 5: map the single-chip DNS ceiling (768 is the only
+        # packed size between 512 and 1024: h must be a 128-multiple)
+        bench("NS3D-LSRK54", lambda F: (lambda s: (s, s.taylor_green()))(
+            NavierStokes3D(F, nu=1/1600, dt=0.0005, dealias="2/3-rule",
+                           spectral_layout="packed", integrator="LSRK54")),
+              768, 2)
     elif mode == "--buoy512":
         # the pending confirmation: 512-class buoyancy rider in-kernel
         from mpifft4py_tpu.ops.pallas_fft3d import fft_x_epilogue_ok
