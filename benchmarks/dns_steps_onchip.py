@@ -96,6 +96,32 @@ def main():
             NavierStokes3D(F, nu=1/1600, dt=0.0005, dealias="2/3-rule",
                            spectral_layout="packed", integrator="LSRK54")),
               768, 2)
+    elif mode == "--ns2d":
+        # VERDICT r4 item 7: 2D consumer numbers — complex vs packed layouts
+        from mpifft4py_tpu import line
+        from mpifft4py_tpu.models.navier_stokes_2d import NavierStokes2D
+
+        def bench2d(name, N, layout, iters):
+            FFT = line.R2C(np.array([N, N]), np.array([2 * np.pi] * 2), None,
+                           "single")
+            solver = NavierStokes2D(FFT, nu=1e-4, dt=5e-4,
+                                    dealias="2/3-rule", spectral_layout=layout)
+            state = solver.vortex_pair()
+            print("  Z0 =", solver.enstrophy(state), flush=True)
+            out = solver.run(state, iters)
+            print("  Z1 =", solver.enstrophy(out), flush=True)
+            t0 = time.perf_counter()
+            out = solver.run(out, iters)
+            solver.enstrophy(out)
+            ms = (time.perf_counter() - t0) / iters * 1e3
+            rows.append({"model": name, "N": N, "layout": layout,
+                         "ms_per_step": round(ms, 2)})
+            print(json.dumps(rows[-1]), flush=True)
+            del FFT, solver, state, out
+
+        for N in (1024, 2048):
+            for layout in ("complex", "packed"):
+                bench2d("NS2D", N, layout, iters=20)
     elif mode == "--buoy512":
         # the pending confirmation: 512-class buoyancy rider in-kernel
         from mpifft4py_tpu.ops.pallas_fft3d import fft_x_epilogue_ok
