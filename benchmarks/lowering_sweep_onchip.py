@@ -180,10 +180,16 @@ def main():
         mask = ((np.abs(k0)[:, None, None] < 2 / 3 * (N0 // 2))
                 & (np.abs(k1)[None, :, None] < 2 / 3 * (N1 // 2))
                 & (k2[None, None, :] < 2 / 3 * h))
-        yr, yi = p3.pack_spectrum(jnp.asarray(fu.astype(np.complex64)))
-        pr, pi = p3.purify_plane0(yr, yi)
-        pr = jnp.where(mask, pr, 0)
-        pi = jnp.where(mask, pi, 0)
+        # complex dtypes cannot cross host<->device on the axon relay (a
+        # failed transfer poisons the runtime stream): ship the float parts
+        # and build the complex array on device.
+        def prep(fr, fi):
+            yr, yi = p3.pack_spectrum(jax.lax.complex(fr, fi))
+            qr, qi = p3.purify_plane0(yr, yi)
+            return jnp.where(mask, qr, 0), jnp.where(mask, qi, 0)
+
+        pr, pi = jax.jit(prep)(jnp.asarray(fu.real.astype(np.float32)),
+                               jnp.asarray(fu.imag.astype(np.float32)))
         W = np.asarray(jax.jit(lambda x, y: p3.curl_irfft3d_packed(
             x, y, jnp.asarray(k0), jnp.asarray(k1), jnp.asarray(k2),
             (N0, N1, N2)))(pr, pi))
