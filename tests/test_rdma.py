@@ -340,3 +340,22 @@ def test_fused_inv_db_schedule(rng, monkeypatch):
     for g, rf in zip(got, ref):
         scale = np.abs(np.asarray(rf)).max()
         assert np.abs(np.asarray(g) - np.asarray(rf)).max() < 1e-5 * scale
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_rdma_chunked_matches_lax_all_to_all(rng, chunks):
+    """k concurrent sub-copies per peer block (MPIFFT4PY_TPU_RDMA_CHUNKS
+    lever) carry the same all-to-all semantics as the single-descriptor
+    path."""
+    mesh = Mesh(np.array(jax.devices()[:4]), ("p",))
+    x = jnp.asarray(rng.standard_normal((8, 32, 8)).astype(np.float32))
+    f = jax.jit(jax.shard_map(
+        lambda v: rdma_all_to_all(v, "p", 1, 0, 4, interpret=True,
+                                  chunks=chunks),
+        mesh=mesh, in_specs=P(None, "p", None), out_specs=P("p", None, None),
+        check_vma=False))
+    ref = jax.jit(jax.shard_map(
+        lambda v: jax.lax.all_to_all(v, "p", 1, 0, tiled=True),
+        mesh=mesh, in_specs=P(None, "p", None), out_specs=P("p", None, None),
+        check_vma=False))
+    assert np.array_equal(np.asarray(f(x)), np.asarray(ref(x)))
