@@ -96,6 +96,14 @@ def main():
             NavierStokes3D(F, nu=1/1600, dt=0.0005, dealias="2/3-rule",
                            spectral_layout="packed", integrator="LSRK54")),
               768, 2)
+    elif mode == "--ns512pad":
+        # item-5 companion: a 512-state 3/2-rule DNS evaluates its nonlinear
+        # term alias-free on the 768 grid — the memory-lean equivalent of a
+        # 768-cubed 2/3-rule run (both resolve 512 modes/axis).  Rides the
+        # complex layout (the packed interface is 2/3-rule-only).
+        bench("NS3D-pad-LSRK54", lambda F: (lambda s: (s, s.taylor_green()))(
+            NavierStokes3D(F, nu=1/1600, dt=0.0005, dealias="3/2-rule",
+                           integrator="LSRK54")), 512, 2)
     elif mode == "--ns2d":
         # VERDICT r4 item 7: 2D consumer numbers — complex vs packed layouts
         from mpifft4py_tpu import line
