@@ -20,13 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _timeit(fn, x, iters=20):
+def _timeit(fn, x, iters=50):
     """Per-iteration device time of x -> fn(x), measured as a data-dependent
     in-jit chain ending in a scalar fetch.
 
     Two axon-relay gotchas this sidesteps: block_until_ready() returns before
     remote execution finishes (only a host fetch truly syncs), and each
     dispatch carries ~3 ms of relay overhead (amortised by chaining in-graph).
+    iters=50: the one-chain fixed cost is ~15 ms on the relay, so 20 iters
+    overstated per-iteration time by ~0.45 ms at 256³ (BENCH.md round 4).
     """
     import jax
     import jax.numpy as jnp

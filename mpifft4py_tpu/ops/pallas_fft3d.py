@@ -73,7 +73,20 @@ def _dot(a, b):
 
 
 def _factor(n: int):
-    """n = r·m with the largest m <= 128 dividing n; returns (r, m)."""
+    """n = r·m with the largest m <= 128 dividing n; returns (r, m).
+
+    MPIFFT4PY_TPU_FACTOR="n:r[,n:r…]" overrides r for specific n (A/B knob:
+    e.g. "256:4" runs the 256-point planar stages as r=4/m=64 — half the
+    matmul madds/element, at the cost of a K=64 MXU contraction)."""
+    import os
+    env = os.environ.get("MPIFFT4PY_TPU_FACTOR", "")
+    if env:
+        for part in env.split(","):
+            ns, _, rs = part.partition(":")
+            if ns.strip() and int(ns) == n:
+                r = int(rs)
+                assert n % r == 0, (n, r)
+                return r, n // r
     for m in range(min(n, 128), 0, -1):
         if n % m == 0:
             return n // m, m
