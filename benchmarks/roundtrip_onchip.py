@@ -46,11 +46,20 @@ def main():
         print(f"  api {t_api*1e3:.2f} ms; compiling packed…", flush=True)
         t_pk = measure(lambda v: p3.irfft3d_packed(*p3.rfft3d_packed(v),
                                                    (N, N, N)), u, iters=iters)
+        t_pkd = None
+        if z.zdif_active(N):  # the packed-INTERFACE tier (dif z lane order)
+            print(f"  packed {t_pk*1e3:.2f} ms; compiling packed dif…",
+                  flush=True)
+            t_pkd = measure(lambda v: p3.irfft3d_packed(
+                *p3.rfft3d_packed(v, dif=True), (N, N, N), dif=True),
+                u, iters=iters)
         print(json.dumps({"N": N, "zdif": bool(z.zdif_active(N)),
                           "matmul": os.environ.get("MPIFFT4PY_TPU_MATMUL",
                                                    "highest"),
                           "api_ms": round(t_api * 1e3, 2),
                           "packed_ms": round(t_pk * 1e3, 2),
+                          "packed_dif_ms": (None if t_pkd is None
+                                            else round(t_pkd * 1e3, 2)),
                           "wall_s": round(time.perf_counter() - t0, 0)}),
               flush=True)
         del FFT, fwd, bwd, u

@@ -1115,11 +1115,30 @@ def purify_plane0(yr, yi):
     return yr, yi
 
 
+def _api_zdif(n2: int) -> bool:
+    """Whether the COMPLEX API boundary rides the DIF z-stage: zdif kernels
+    + a lane gather back to natural k2 order folded into the boundary.
+    The gather costs one extra pass over the pair ONLY if XLA fails to fuse
+    it into the boundary concat; the zdif z-stage saves 1.14-1.33x of the
+    packed roundtrip at 512/768-class (BENCH.md round 4).  Opt-in until the
+    on-chip A/B (MPIFFT4PY_TPU_API_ZDIF=1; benchmarks/lane_perm_onchip.py
+    measures the bare gather)."""
+    import os
+    from .pallas_zdif import zdif_active
+    return (os.environ.get("MPIFFT4PY_TPU_API_ZDIF", "0") == "1"
+            and zdif_active(n2))
+
+
 def rfft3d(u) -> jnp.ndarray:
     """numpy-convention rfftn over the LAST THREE axes of real input —
     complex64 out, (…,N0,N1,Nf).  Leading axes batch."""
     nf = u.shape[-1] // 2 + 1
     if _use_packed(u.shape[-1]):
+        if _api_zdif(u.shape[-1]):
+            from .pallas_zdif import zdif_iperm
+            yr, yi = rfft3d_packed(u, dif=True)
+            ip = zdif_iperm(u.shape[-1])     # ip[0] == 0: rider stays lane 0
+            return unpack_spectrum(yr[..., ip], yi[..., ip])
         return unpack_spectrum(*rfft3d_packed(u))
     yr, yi = rfft3d_planar(u)
     return lax.complex(yr, yi)[..., :nf]
@@ -1130,6 +1149,11 @@ def irfft3d(fu, s) -> jnp.ndarray:
     s = tuple(s)[-3:]
     nf = s[-1] // 2 + 1
     if _use_packed(s[-1]) and fu.shape[-1] == nf:
+        if _api_zdif(s[-1]):
+            from .pallas_zdif import zdif_perm
+            br, bi = pack_spectrum(fu)
+            pm = zdif_perm(s[-1])
+            return irfft3d_packed(br[..., pm], bi[..., pm], s, dif=True)
         br, bi = pack_spectrum(fu)
         return irfft3d_packed(br, bi, s)
     nfp = _round_up(nf, 128)

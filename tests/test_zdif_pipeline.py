@@ -211,3 +211,19 @@ def test_checkpoint_z_order_reconciliation(rng, tmp_path, monkeypatch):
     (nr, ni), _ = load_state(path, Fn)
     ip = z.zdif_iperm(N2)
     assert np.array_equal(np.asarray(nr), ur[..., ip])
+
+
+# -- complex API over the DIF z-stage (MPIFFT4PY_TPU_API_ZDIF) ----------------
+
+def test_api_zdif_matches_numpy(rng, monkeypatch):
+    """rfft3d/irfft3d with the API-zdif gate: DIF kernels + the natural-order
+    lane gather folded into the boundary must reproduce numpy exactly like
+    the dense path (natural k2 order, complex in/out)."""
+    monkeypatch.setenv("MPIFFT4PY_TPU_API_ZDIF", "1")
+    shape = (16, 16, N2)
+    u = rng.standard_normal(shape).astype(np.float32)
+    fu = np.asarray(p3.rfft3d(jnp.asarray(u)))
+    ref = np.fft.rfftn(u.astype(np.float64), axes=(-3, -2, -1))
+    assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
+    ub = np.asarray(p3.irfft3d(jnp.asarray(fu), shape))
+    assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
