@@ -308,3 +308,24 @@ def test_curl_irfft3d_with_state_matches_separate(rng):
     Wonly = p3.curl_irfft3d_packed(yr, yi, k0, k1, k2, (N0, N1, N2))
     assert float(jnp.abs(W - Wonly).max()) == 0.0
     assert np.abs(np.asarray(U) - u).max() / np.abs(u).max() < 1e-5
+
+
+@pytest.mark.parametrize("spec,n,want", [("256:4", 256, (4, 64)),
+                                         ("256:8", 256, (8, 32)),
+                                         ("256:4", 512, (4, 128))])
+def test_factor_override_env(monkeypatch, spec, n, want):
+    """MPIFFT4PY_TPU_FACTOR overrides only the named n (A/B knob)."""
+    monkeypatch.setenv("MPIFFT4PY_TPU_FACTOR", spec)
+    assert p3._factor(n) == want
+
+
+def test_factored_planar_axis_override_parity(rng, monkeypatch):
+    """r=4/m=64 factorisation of the 256-point stage matches numpy."""
+    monkeypatch.setenv("MPIFFT4PY_TPU_FACTOR", "256:4")
+    x = (rng.standard_normal((2, 256, 128))
+         + 1j * rng.standard_normal((2, 256, 128))).astype(np.complex64)
+    assert p3._factor(256) == (4, 64)
+    yr, yi = p3.fft_axis_planar(jnp.real(x), jnp.imag(x), axis=1)
+    out = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x, axis=1)
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
