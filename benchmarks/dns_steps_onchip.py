@@ -96,6 +96,15 @@ def main():
             NavierStokes3D(F, nu=1/1600, dt=0.0005, dealias="2/3-rule",
                            spectral_layout="packed", integrator="LSRK54")),
               768, 2)
+    elif mode == "--ns768e":
+        # item 5 with the per-component-streamed nonlinear term: Euler is
+        # the only integrator whose carry fits beside the 768³ RHS peak
+        # (state + F̂ + 3 single components ≈ 14.5 GB; LSRK54's 2N carry
+        # adds another 5.4 — see the BENCH.md 768 ledger)
+        from mpifft4py_tpu.models.navier_stokes import NavierStokes3D as NS
+        bench("NS3D-Euler-streamed", lambda F: (lambda s: (s, s.taylor_green()))(
+            NS(F, nu=1/1600, dt=0.0002, dealias="2/3-rule",
+               spectral_layout="packed", integrator="Euler")), 768, 2)
     elif mode == "--ns512pad":
         # item-5 companion: a 512-state 3/2-rule DNS evaluates its nonlinear
         # term alias-free on the 768 grid — the memory-lean equivalent of a

@@ -605,7 +605,83 @@ class NavierStokes3D(SpectralSolver):
     # pair crosses the single transpose via the _PackedDist1D pipeline — the
     # fast layout survives slab (and pencil-P2==1) sharding.
 
+    def _nl_stream_on(self) -> bool:
+        """Per-component-streamed nonlinear term for grids whose physical
+        3-stacks cannot co-live in HBM (768-class on a 16 GB chip: U + ω
+        alone are 10.9 GB — see the BENCH.md 768³ ledger).  Auto-engages on
+        the serial packed path when the two stacks exceed ~9 GB;
+        MPIFFT4PY_TPU_NL_STREAM=0/1 forces."""
+        import os
+        env = os.environ.get("MPIFFT4PY_TPU_NL_STREAM", "auto")
+        if env in ("0", "1"):
+            return env == "1"
+        N = [int(n) for n in self.FFT.N]
+        try:
+            serial = self.FFT._packed_gate_is_serial(self.dealias)
+        except Exception:
+            return False
+        return serial and 2 * 3 * N[0] * N[1] * N[2] * 4 > 9e9
+
+    def _rhs_packed_lowmem(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
+        """Rotational RHS with the nonlinear term streamed one CROSS TERM at
+        a time: F_i = U_j·ω_k − U_k·ω_j is built from single-component
+        inverse transforms (each U_c / ω_c is recomputed per term and dies
+        with it), so no physical 3-stack ever materialises.  Peak residency
+        ≈ Û pair + F̂ pair + three single components (~14.5 GB at 768³ vs
+        29 GB for the stacked RHS) at ~2× the transform work.  Identical
+        arithmetic to rhs_packed's generic branch (transform + mask +
+        purify are all linear, so fwd(a·b) − fwd(c·d) = fwd(a·b − c·d));
+        optimization_barriers pin the component schedule so XLA cannot
+        re-widen the live set."""
+        from jax import lax
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
+        Ks = (K0, K1, K2v)
+
+        def u_comp(c):                       # physical U_c
+            return self._bwd_pk((Ur[c], Ui[c]))
+
+        def w_comp(c):                       # physical ω_c = ifft(i(K×Û)_c)
+            j, k = (c + 1) % 3, (c + 2) % 3
+            wr = -(Ks[j] * Ui[k] - Ks[k] * Ui[j])
+            wi = Ks[j] * Ur[k] - Ks[k] * Ur[j]
+            return self._bwd_pk((wr, wi))
+
+        def term(j, k):                      # fwd(U_j · ω_k), masked+purified
+            return self._fwd_pk(u_comp(j) * w_comp(k))
+
+        Fr, Fi = [], []
+        gate = (Ur, Ui)
+        for i in range(3):
+            j, k = (i + 1) % 3, (i + 2) % 3
+            Ur, Ui = gate                    # serialise: comp i+1 starts only
+            ar, ai = term(j, k)              # after comp i's transients died
+            br, bi = term(k, j)
+            fr, fi = ar - br, ai - bi
+            fr, fi, *gate = lax.optimization_barrier((fr, fi, Ur, Ui))
+            Fr.append(fr)
+            Fi.append(fi)
+        Ur, Ui = gate
+        Fr = jnp.stack(Fr)
+        Fi = jnp.stack(Fi)
+        inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+        dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
+        di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
+        Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+        Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
+        return (Fr - self.nu * ksq[None] * Ur,
+                Fi - self.nu * ksq[None] * Ui)
+
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
+        if self._nl_stream_on():
+            dUr, dUi = self._rhs_packed_lowmem(Ur, Ui, k0, k1, k2,
+                                               m0, m1, m2)
+            if self.forcing_band is None or self.forcing_rate <= 0:
+                return dUr, dUi
+            raise NotImplementedError(
+                "band forcing + streamed nonlinear term not wired")
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
         K2v = k2[None, None, :]

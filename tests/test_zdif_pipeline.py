@@ -227,3 +227,26 @@ def test_api_zdif_matches_numpy(rng, monkeypatch):
     assert np.abs(fu - ref).max() / np.abs(ref).max() < 2e-6
     ub = np.asarray(p3.irfft3d(jnp.asarray(fu), shape))
     assert np.abs(ub - u).max() / np.abs(u).max() < 2e-6
+
+
+def test_nl_streamed_rhs_matches_generic(rng, monkeypatch):
+    """The per-component-streamed nonlinear term (768-class memory envelope,
+    MPIFFT4PY_TPU_NL_STREAM=1) == the generic packed RHS on the DIF layout:
+    transform + mask + purify are linear, so fwd(U_j·ω_k) − fwd(U_k·ω_j)
+    per component reproduces fwd(U×ω)."""
+    from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
+
+    shape = (16, 16, N2)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 1, "single")
+    s = NavierStokes3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule",
+                       spectral_layout="packed")
+    U = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    S = s._fwd_pk(U)
+    kargs = s._packed_arrays()
+    monkeypatch.setenv("MPIFFT4PY_TPU_NL_STREAM", "0")
+    generic = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    monkeypatch.setenv("MPIFFT4PY_TPU_NL_STREAM", "1")
+    streamed = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    scale = np.abs(np.asarray(generic[0])).max()
+    for g, f in zip(generic, streamed):
+        assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
