@@ -89,6 +89,13 @@ def main():
         bench("MHD-LSRK54", lambda F: (lambda s: (s, s.taylor_green_mhd()))(
             MHD3D(F, nu=1/1600, eta=1/1600, dt=0.001, dealias="2/3-rule",
                   spectral_layout="packed", integrator="LSRK54")), 512, 3)
+    elif mode == "--mhd512e":
+        # LSRK54 measured 17.26 of 15.75 GB (the 2N carry + dU are 6.4 GB
+        # beside the seq RHS's 3-stack peak); Euler's carry is the state
+        # alone — the fitting integrator at 6 components on 16 GB
+        bench("MHD-Euler", lambda F: (lambda s: (s, s.taylor_green_mhd()))(
+            MHD3D(F, nu=1/1600, eta=1/1600, dt=0.0005, dealias="2/3-rule",
+                  spectral_layout="packed", integrator="Euler")), 512, 3)
     elif mode == "--ns768":
         # VERDICT r4 item 5: map the single-chip DNS ceiling (768 is the only
         # packed size between 512 and 1024: h must be a 128-multiple)
