@@ -133,8 +133,14 @@ def main():
         def bench2d(name, N, layout, iters):
             FFT = line.R2C(np.array([N, N]), np.array([2 * np.pi] * 2), None,
                            "single")
-            solver = NavierStokes2D(FFT, nu=1e-4, dt=5e-4,
-                                    dealias="2/3-rule", spectral_layout=layout)
+            try:
+                solver = NavierStokes2D(FFT, nu=1e-4, dt=5e-4,
+                                        dealias="2/3-rule",
+                                        spectral_layout=layout)
+            except ValueError as e:
+                print(json.dumps({"model": name, "N": N, "layout": layout,
+                                  "skip": str(e)}), flush=True)
+                return
             state = solver.vortex_pair()
             print("  Z0 =", solver.enstrophy(state), flush=True)
             out = solver.run(state, iters)

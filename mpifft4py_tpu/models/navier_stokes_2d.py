@@ -47,12 +47,16 @@ class NavierStokes2D:
             raise ValueError(f"spectral_layout must be 'complex' or 'packed', "
                              f"got {spectral_layout!r}")
         if spectral_layout == "packed":
-            n1 = int(FFT.N[1])
+            from ..ops import pallas_fft3d as p3
+            n0, n1 = int(FFT.N[0]), int(FFT.N[1])
+            r0, m0 = p3._factor(n0)
             if not (getattr(FFT, "P", 1) == 1 and dealias == "2/3-rule"
-                    and (n1 // 2) % 128 == 0):
+                    and (n1 // 2) % 128 == 0 and r0 <= 8 and m0 >= 8):
                 raise ValueError(
-                    "packed 2D layout needs P == 1, dealias='2/3-rule' and "
-                    "(N1/2) % 128 == 0 (the packed-Hermitian lane gate)")
+                    "packed 2D layout needs P == 1, dealias='2/3-rule', "
+                    "(N1/2) % 128 == 0 and N0 = r·m with r <= 8, m <= 128 "
+                    "(the planar-stage factorisation gate: N0 <= 1024 for "
+                    "powers of two)")
         self.spectral_layout = spectral_layout
         K = FFT.get_scaled_local_wavenumbermesh()      # (2, N0, Nfp)
         K2 = jnp.sum(K * K, axis=0)
@@ -151,17 +155,22 @@ class NavierStokes2D:
 
     def rhs_packed(self, Wp, k0, k1):
         """RHS on the packed pair: 4 inverse + 1 forward transform, all
-        spectral algebra on float pairs (i·k multiplies are planar swaps)."""
+        spectral algebra on float pairs (i·k multiplies are planar swaps).
+        The four inverses ride ONE batched kernel chain: 2D fields are tiny
+        (4 MB at 1024²), so the step is kernel-LAUNCH-bound, the opposite of
+        the 3D measurement (BENCH.md: batching was slower at 256³) — the
+        (4, N0, h) stack quarters the launch count of the inverse leg."""
         wr, wi = Wp
         K0, K1 = k0[:, None], k1[None, :]
         K2 = K0 * K0 + K1 * K1
         K2i = jnp.where(K2 == 0, 0.0, 1.0 / jnp.where(K2 == 0, 1.0, K2))
         pr, pi = wr * K2i, wi * K2i
-        u = self._bwd_pk(-K1 * pi, K1 * pr)        # ifft(i k1 ψ̂)
-        v = self._bwd_pk(K0 * pi, -K0 * pr)        # ifft(−i k0 ψ̂)
-        wx = self._bwd_pk(-K0 * wi, K0 * wr)       # ifft(i k0 ω̂)
-        wy = self._bwd_pk(-K1 * wi, K1 * wr)       # ifft(i k1 ω̂)
-        ar, ai = self._fwd_pk(u * wx + v * wy, k0, k1)
+        # rows: u = ifft(i k1 ψ̂), v = ifft(−i k0 ψ̂), ω_x = ifft(i k0 ω̂),
+        #       ω_y = ifft(i k1 ω̂)
+        gr = jnp.stack([-K1 * pi, K0 * pi, -K0 * wi, -K1 * wi])
+        gi = jnp.stack([K1 * pr, -K0 * pr, K0 * wr, K1 * wr])
+        G = self._bwd_pk(gr, gi)                   # (4, N0, N1) physical
+        ar, ai = self._fwd_pk(G[0] * G[2] + G[1] * G[3], k0, k1)
         return (-ar - self.nu * K2 * wr, -ai - self.nu * K2 * wi)
 
     # -- shared machinery --------------------------------------------------------
