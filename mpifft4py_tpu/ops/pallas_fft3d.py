@@ -1118,15 +1118,20 @@ def purify_plane0(yr, yi):
 def _api_zdif(n2: int) -> bool:
     """Whether the COMPLEX API boundary rides the DIF z-stage: zdif kernels
     + a lane gather back to natural k2 order folded into the boundary.
-    The gather costs one extra pass over the pair ONLY if XLA fails to fuse
-    it into the boundary concat; the zdif z-stage saves 1.14-1.33x of the
-    packed roundtrip at 512/768-class (BENCH.md round 4).  Opt-in until the
-    on-chip A/B (MPIFFT4PY_TPU_API_ZDIF=1; benchmarks/lane_perm_onchip.py
-    measures the bare gather)."""
+    On-chip A/B (BENCH.md round 4): XLA fuses the gathers into the boundary
+    concat well enough that the net is the zdif saving minus ~the gather's
+    bandwidth share — a WASH at 512³ (31.85 vs 31.74 ms), a 4% loss at 768³
+    (the r=6 zdif win is smallest and the gather runs at 46% efficiency),
+    and an 8% WIN at 1024³ (304.87 vs 330.21 ms API roundtrip).  Default
+    auto = 1024-class (r = 8) only; MPIFFT4PY_TPU_API_ZDIF=0/1 forces."""
     import os
     from .pallas_zdif import zdif_active
-    return (os.environ.get("MPIFFT4PY_TPU_API_ZDIF", "0") == "1"
-            and zdif_active(n2))
+    env = os.environ.get("MPIFFT4PY_TPU_API_ZDIF", "auto")
+    if env == "0":
+        return False
+    if not zdif_active(n2):
+        return False
+    return env == "1" or n2 // 128 >= 8
 
 
 def rfft3d(u) -> jnp.ndarray:

@@ -250,3 +250,14 @@ def test_nl_streamed_rhs_matches_generic(rng, monkeypatch):
     scale = np.abs(np.asarray(generic[0])).max()
     for g, f in zip(generic, streamed):
         assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
+
+
+def test_api_zdif_auto_gate(monkeypatch):
+    """auto = 1024-class only (the measured win size); 0/1 force."""
+    monkeypatch.delenv("MPIFFT4PY_TPU_API_ZDIF", raising=False)
+    assert p3._api_zdif(1024) and not p3._api_zdif(512) \
+        and not p3._api_zdif(768)
+    monkeypatch.setenv("MPIFFT4PY_TPU_API_ZDIF", "1")
+    assert p3._api_zdif(512)
+    monkeypatch.setenv("MPIFFT4PY_TPU_API_ZDIF", "0")
+    assert not p3._api_zdif(1024)
