@@ -72,12 +72,20 @@ def _dot(a, b):
 
 
 
-def _factor(n: int):
+_TUNED_R = {256: 4}   # measured on v5e: r=4/m=64 API roundtrip 2.559 vs
+                      # 2.684 ms at 256³ (the K=64 contraction costs less
+                      # than the halved madds save) — BENCH.md round 4
+
+
+def _factor(n: int, tuned: bool = False):
     """n = r·m with the largest m <= 128 dividing n; returns (r, m).
 
-    MPIFFT4PY_TPU_FACTOR="n:r[,n:r…]" overrides r for specific n (A/B knob:
-    e.g. "256:4" runs the 256-point planar stages as r=4/m=64 — half the
-    matmul madds/element, at the cost of a K=64 MXU contraction)."""
+    ``tuned=True`` (the plain transform stages: fft_axis_planar,
+    fused_zy_*) consults the measured _TUNED_R table first — scoped to the
+    exact kernels the on-chip A/B covered; the fused cross/epilogue/rdma
+    kernels keep the largest-m default (their r=4/m=64 programs are
+    unmeasured).  MPIFFT4PY_TPU_FACTOR="n:r[,n:r…]" overrides r for
+    specific n everywhere (the A/B knob)."""
     import os
     env = os.environ.get("MPIFFT4PY_TPU_FACTOR", "")
     if env:
@@ -87,6 +95,9 @@ def _factor(n: int):
                 r = int(rs)
                 assert n % r == 0, (n, r)
                 return r, n // r
+    if tuned and n in _TUNED_R:
+        r = _TUNED_R[n]
+        return r, n // r
     for m in range(min(n, 128), 0, -1):
         if n % m == 0:
             return n // m, m
@@ -266,7 +277,7 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     axis = axis % xr.ndim
     assert axis != xr.ndim - 1, "last axis: use the r2c/c2r kernels or transpose"
     n = xr.shape[axis]
-    r, m = _factor(n)
+    r, m = _factor(n, tuned=True)
     assert r <= 8 and m >= 8, (n, r, m)
     sign = +1 if inverse else -1
     pre = int(np.prod(xr.shape[:axis], dtype=np.int64)) if axis else 1
@@ -935,7 +946,7 @@ def fused_zy_fwd(u, dif: bool = False):
     N0, N1, N2 = u.shape
     h = N2 // 2
     assert h % 128 == 0
-    r, m = _factor(N1)
+    r, m = _factor(N1, tuned=True)
     assert r <= 8 and m >= 8
     wr, wi = _dft_cs(m, -1)
     cr, ci = _combine_cs(N1, r, m, -1)
@@ -984,7 +995,7 @@ def fused_zy_bwd(yr, yi, n2: int, dif: bool = False):
     yi = yi.reshape((-1,) + shp[-2:])
     N0, N1, h = yr.shape
     assert h == n2 // 2 and h % 128 == 0
-    r, m = _factor(N1)
+    r, m = _factor(N1, tuned=True)
     wr, wi = _dft_cs(m, +1)
     cr, ci = _combine_cs(N1, r, m, +1)
     bx = pl.BlockSpec((1, N1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
