@@ -39,6 +39,9 @@ def _step_time(solver, state, iters):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "--small"
+    from mpifft4py_tpu.utils.cache import enable_wisdom_cache
+    enable_wisdom_cache(os.environ.get("MPIFFT4PY_TPU_CACHE",
+                                       "/tmp/mpifft4py_tpu_cache"))
     import jax
     from mpifft4py_tpu import slab
     from mpifft4py_tpu.models.navier_stokes import NavierStokes3D
@@ -78,6 +81,11 @@ def main():
         bench("NS3D", lambda F: (lambda s: (s, s.taylor_green()))(
             NavierStokes3D(F, nu=1/1600, dt=0.001, dealias="2/3-rule",
                            spectral_layout="packed")), 512, 5)
+    elif mode == "--vv512":
+        # round-4 headline refresh: VV 512³ with the zdif z-stage now default
+        bench("VV", lambda F: (lambda s: (s, s.taylor_green()))(
+            VorticityVelocity3D(F, nu=1/1600, dt=0.001, dealias="2/3-rule",
+                                spectral_layout="packed")), 512, 5)
     elif mode == "--mhd512":
         # VERDICT r4 item 3: 512³ MHD on one chip — split cross2 (two
         # accumulating 6-field passes) + peak-HBM-sequenced RHS
