@@ -623,16 +623,20 @@ class NavierStokes3D(SpectralSolver):
         return serial and 2 * 3 * N[0] * N[1] * N[2] * 4 > 9e9
 
     def _rhs_packed_lowmem(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
-        """Rotational RHS with the nonlinear term streamed one CROSS TERM at
-        a time: F_i = U_j·ω_k − U_k·ω_j is built from single-component
-        inverse transforms (each U_c / ω_c is recomputed per term and dies
-        with it), so no physical 3-stack ever materialises.  Peak residency
-        ≈ Û pair + F̂ pair + three single components (~14.5 GB at 768³ vs
-        29 GB for the stacked RHS) at ~2× the transform work.  Identical
-        arithmetic to rhs_packed's generic branch (transform + mask +
-        purify are all linear, so fwd(a·b) − fwd(c·d) = fwd(a·b − c·d));
-        optimization_barriers pin the component schedule so XLA cannot
-        re-widen the live set."""
+        """Rotational RHS with the nonlinear term streamed one COMPONENT at
+        a time: the physical difference D_i = U_j·ω_k − U_k·ω_j is built
+        from single-component inverse transforms (each U_c / ω_c is
+        recomputed per product and dies with it, D_i accumulates in place),
+        then ONE forward per component — no physical 3-stack ever
+        materialises and the forward count matches the stacked path (3).
+        optimization_barriers between the two products and around each
+        forward pin the schedule; without them XLA co-schedules both
+        products' vorticity spectra and inverse-transform temporaries
+        (measured 17.73→17.17 GB OOM at 768³ via the AOT memory ledger,
+        benchmarks/memory_ledger.py — five simultaneous 864 MB w-spectra
+        buffers in the dump).  Arithmetic matches rhs_packed's generic
+        branch (same physical cross difference, same single forward;
+        transform + mask + purify are linear)."""
         from jax import lax
         K0 = k0[:, None, None]
         K1 = k1[None, :, None]
@@ -649,30 +653,42 @@ class NavierStokes3D(SpectralSolver):
             wi = Ks[j] * Ur[k] - Ks[k] * Ur[j]
             return self._bwd_pk((wr, wi))
 
-        def term(j, k):                      # fwd(U_j · ω_k), masked+purified
-            return self._fwd_pk(u_comp(j) * w_comp(k))
-
         Fr, Fi = [], []
         gate = (Ur, Ui)
         for i in range(3):
             j, k = (i + 1) % 3, (i + 2) % 3
             Ur, Ui = gate                    # serialise: comp i+1 starts only
-            ar, ai = term(j, k)              # after comp i's transients died
-            br, bi = term(k, j)
-            fr, fi = ar - br, ai - bi
+            t = u_comp(j) * w_comp(k)        # after comp i's transients died
+            t, Ur, Ui = lax.optimization_barrier((t, Ur, Ui))
+            t = t - u_comp(k) * w_comp(j)    # physical D_i = U_j ω_k − U_k ω_j
+            t, Ur, Ui = lax.optimization_barrier((t, Ur, Ui))
+            fr, fi = self._fwd_pk(t)         # ONE forward per component
             fr, fi, *gate = lax.optimization_barrier((fr, fi, Ur, Ui))
             Fr.append(fr)
             Fi.append(fi)
         Ur, Ui = gate
-        Fr = jnp.stack(Fr)
-        Fi = jnp.stack(Fi)
+        # Projection + viscosity PER COMPONENT on the F̂ pieces.  The obvious
+        #   F − stack([K0·d, K1·d, K2·d]) − ν k² Û
+        # allocates a second full (3,…) pair plus the K⊙d broadcast stack
+        # (~7.5 GB at 768³) — measured OOM 17.73 of 15.75 GB via the AOT
+        # memory ledger (benchmarks/memory_ledger.py).  Emitting one output
+        # component at a time lets each F̂_c die as its output forms, and
+        # stacking re before im keeps only one 3-stack copy in flight.
         inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
         dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
         di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
-        Fr = Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
-        Fi = Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
-        return (Fr - self.nu * ksq[None] * Ur,
-                Fi - self.nu * ksq[None] * Ui)
+        outr, outi = [], []
+        g = (dr, di)
+        for c in range(3):
+            dr, di = g
+            oc_r = Fr[c] - Ks[c] * dr - self.nu * ksq * Ur[c]
+            oc_i = Fi[c] - Ks[c] * di - self.nu * ksq * Ui[c]
+            oc_r, oc_i, *g = lax.optimization_barrier((oc_r, oc_i, dr, di))
+            outr.append(oc_r)
+            outi.append(oc_i)
+        R = jnp.stack(outr)
+        R, *outi = lax.optimization_barrier((R, *outi))
+        return R, jnp.stack(outi)
 
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
         if self._nl_stream_on():
