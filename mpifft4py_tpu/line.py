@@ -171,8 +171,21 @@ class R2C(BaseFFT):
     # -- Pallas serial fast path (single device) --------------------------------
 
     def _pallas2d_ok(self, dealias) -> bool:
+        """Serial complex-layout 2D tier selector — default XLA since round 4.
+
+        Measured on chip (BENCH.md round 4): the Pallas serial-2D tier wins
+        the bare 1024² round trip (0.78 vs 0.91 ms) but LOSES the NS2D
+        consumer step 1.7× (27.1 vs 15.5 ms/step, reproduced twice) — 2D
+        consumer steps are per-op-overhead-bound and the tier's extra
+        kernel+boundary count per transform dominates.  XLA also ties or
+        wins the 512² round trip (0.600 vs 0.625 ms).  The packed 2D pair
+        layout (models/navier_stokes_2d.py) and the distributed tier
+        (`_pallas_dist_ok`) are unaffected.  MPIFFT4PY_TPU_PALLAS2D=1
+        re-enables for A/Bs."""
         import os
         if os.environ.get("MPIFFT4PY_TPU_PALLAS", "1") in ("0", "false"):
+            return False
+        if os.environ.get("MPIFFT4PY_TPU_PALLAS2D", "0") not in ("1", "true"):
             return False
         if self.policy.path != "native" or self.float != np.float32:
             return False
