@@ -120,6 +120,13 @@ def main():
         bench("NS3D-Euler-streamed", lambda F: (lambda s: (s, s.taylor_green()))(
             NS(F, nu=1/1600, dt=0.0002, dealias="2/3-rule",
                spectral_layout="packed", integrator="Euler")), 768, 2)
+    elif mode == "--vv768e":
+        # the second 768-class model: VV's streamed NL (Biot–Savart
+        # single-component recovery) — Euler for the same carry reason as NS
+        bench("VV-Euler-streamed", lambda F: (lambda s: (s, s.taylor_green()))(
+            VorticityVelocity3D(F, nu=1/1600, dt=0.0002, dealias="2/3-rule",
+                                spectral_layout="packed",
+                                integrator="Euler")), 768, 2)
     elif mode == "--ns512pad":
         # item-5 companion: a 512-state 3/2-rule DNS evaluates its nonlinear
         # term alias-free on the 768 grid — the memory-lean equivalent of a

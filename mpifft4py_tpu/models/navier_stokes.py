@@ -289,6 +289,67 @@ class SpectralSolver:
                               (K0 * V[1] - K1 * V[0]) * kinv])
         return self._bwd_pk((-kx(Vi), kx(Vr)))
 
+    def _nl_stream_on(self) -> bool:
+        """Per-component-streamed nonlinear term for grids whose physical
+        3-stacks cannot co-live in HBM (768-class on a 16 GB chip: two
+        physical stacks alone are 10.9 GB — see the BENCH.md 768³ ledger).
+        Auto-engages on the serial packed path when the two stacks exceed
+        ~9 GB; MPIFFT4PY_TPU_NL_STREAM=0/1 forces."""
+        import os
+        env = os.environ.get("MPIFFT4PY_TPU_NL_STREAM", "auto")
+        if env in ("0", "1"):
+            return env == "1"
+        N = [int(n) for n in self.FFT.N]
+        try:
+            serial = self.FFT._packed_gate_is_serial(self.dealias)
+        except Exception:
+            return False
+        return serial and 2 * 3 * N[0] * N[1] * N[2] * 4 > 9e9
+
+    def _streamed_cross_fhat(self, u_comp, w_comp, Sr, Si, aux=()):
+        """F̂ = fwd(U×W) streamed one COMPONENT at a time: the physical
+        difference D_i = U_j·W_k − U_k·W_j is built from single-component
+        inverse transforms (``u_comp(Sr, Si, c)`` / ``w_comp(Sr, Si, c)``
+        recompute each physical component from the spectral state pair, so
+        it dies with its product; D_i accumulates in place), then ONE
+        forward per component — no physical 3-stack ever materialises and
+        the forward count matches the stacked path (3).
+        optimization_barriers between the two products and around each
+        forward pin the schedule; without them XLA co-schedules both
+        products' spectra and inverse-transform temporaries (measured
+        17.73→17.17 GB OOM at 768³ via the AOT memory ledger,
+        benchmarks/memory_ledger.py — five simultaneous 864 MB w-spectra
+        buffers in the dump).  Arithmetic matches the stacked path (same
+        physical cross difference, same single forward; transform + mask +
+        purify are linear).  Returns (Fr, Fi) component LISTS plus the
+        barrier-threaded (state pair + aux) tuple.
+
+        ``aux`` (e.g. the 1-D wavenumber vectors) is threaded through every
+        barrier and handed back to the closures: spectral factors like k²
+        or 1/k² must be REBUILT inside each closure from the threaded
+        vectors, never hoisted — a hoisted 3-D broadcast is CSE-shared by
+        every segment and lives across the whole RHS (measured 864 MB each
+        for ksq and 1/k² at 768³ in the AOT dump); built from barrier-fresh
+        vectors, each segment's copy fuses into its consumers and dies with
+        the segment."""
+        from jax import lax
+        Fr, Fi = [], []
+        gate = (Sr, Si) + tuple(aux)
+        for i in range(3):
+            j, k = (i + 1) % 3, (i + 2) % 3
+            Sr, Si, *aux = gate              # serialise: comp i+1 starts only
+            t = u_comp(Sr, Si, aux, j) * w_comp(Sr, Si, aux, k)
+            t, Sr, Si, *aux = lax.optimization_barrier((t, Sr, Si, *aux))
+            t = t - u_comp(Sr, Si, aux, k) * w_comp(Sr, Si, aux, j)
+            t, Sr, Si, *aux = lax.optimization_barrier((t, Sr, Si, *aux))
+            fr, fi = self._fwd_pk(t)         # ONE forward per component
+            fr, fi, Sr, Si, *aux = lax.optimization_barrier(
+                (fr, fi, Sr, Si, *aux))
+            gate = (Sr, Si, *aux)
+            Fr.append(fr)
+            Fi.append(fi)
+        return Fr, Fi, gate
+
     def _packed_arrays(self):
         """FACTORED wavenumber state for the packed RHS: 1-D scaled
         wavenumbers (k0, k1, k2) and 1-D dealias masks (m0, m1, m2), packed
@@ -605,68 +666,29 @@ class NavierStokes3D(SpectralSolver):
     # pair crosses the single transpose via the _PackedDist1D pipeline — the
     # fast layout survives slab (and pencil-P2==1) sharding.
 
-    def _nl_stream_on(self) -> bool:
-        """Per-component-streamed nonlinear term for grids whose physical
-        3-stacks cannot co-live in HBM (768-class on a 16 GB chip: U + ω
-        alone are 10.9 GB — see the BENCH.md 768³ ledger).  Auto-engages on
-        the serial packed path when the two stacks exceed ~9 GB;
-        MPIFFT4PY_TPU_NL_STREAM=0/1 forces."""
-        import os
-        env = os.environ.get("MPIFFT4PY_TPU_NL_STREAM", "auto")
-        if env in ("0", "1"):
-            return env == "1"
-        N = [int(n) for n in self.FFT.N]
-        try:
-            serial = self.FFT._packed_gate_is_serial(self.dealias)
-        except Exception:
-            return False
-        return serial and 2 * 3 * N[0] * N[1] * N[2] * 4 > 9e9
-
     def _rhs_packed_lowmem(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
-        """Rotational RHS with the nonlinear term streamed one COMPONENT at
-        a time: the physical difference D_i = U_j·ω_k − U_k·ω_j is built
-        from single-component inverse transforms (each U_c / ω_c is
-        recomputed per product and dies with it, D_i accumulates in place),
-        then ONE forward per component — no physical 3-stack ever
-        materialises and the forward count matches the stacked path (3).
-        optimization_barriers between the two products and around each
-        forward pin the schedule; without them XLA co-schedules both
-        products' vorticity spectra and inverse-transform temporaries
-        (measured 17.73→17.17 GB OOM at 768³ via the AOT memory ledger,
-        benchmarks/memory_ledger.py — five simultaneous 864 MB w-spectra
-        buffers in the dump).  Arithmetic matches rhs_packed's generic
-        branch (same physical cross difference, same single forward;
-        transform + mask + purify are linear)."""
+        """Rotational RHS with the nonlinear term streamed one component at
+        a time (`SpectralSolver._streamed_cross_fhat` — see its docstring
+        for the memory design), followed by a per-component projection +
+        viscosity epilogue."""
         from jax import lax
-        K0 = k0[:, None, None]
-        K1 = k1[None, :, None]
-        K2v = k2[None, None, :]
-        ksq = K0 * K0 + K1 * K1 + K2v * K2v
-        Ks = (K0, K1, K2v)
 
-        def u_comp(c):                       # physical U_c
+        def ks_of(kv):                       # per-segment broadcast factors
+            return (kv[0][:, None, None], kv[1][None, :, None],
+                    kv[2][None, None, :])
+
+        def u_comp(Ur, Ui, kv, c):           # physical U_c
             return self._bwd_pk((Ur[c], Ui[c]))
 
-        def w_comp(c):                       # physical ω_c = ifft(i(K×Û)_c)
+        def w_comp(Ur, Ui, kv, c):           # physical ω_c = ifft(i(K×Û)_c)
+            Ks = ks_of(kv)
             j, k = (c + 1) % 3, (c + 2) % 3
             wr = -(Ks[j] * Ui[k] - Ks[k] * Ui[j])
             wi = Ks[j] * Ur[k] - Ks[k] * Ur[j]
             return self._bwd_pk((wr, wi))
 
-        Fr, Fi = [], []
-        gate = (Ur, Ui)
-        for i in range(3):
-            j, k = (i + 1) % 3, (i + 2) % 3
-            Ur, Ui = gate                    # serialise: comp i+1 starts only
-            t = u_comp(j) * w_comp(k)        # after comp i's transients died
-            t, Ur, Ui = lax.optimization_barrier((t, Ur, Ui))
-            t = t - u_comp(k) * w_comp(j)    # physical D_i = U_j ω_k − U_k ω_j
-            t, Ur, Ui = lax.optimization_barrier((t, Ur, Ui))
-            fr, fi = self._fwd_pk(t)         # ONE forward per component
-            fr, fi, *gate = lax.optimization_barrier((fr, fi, Ur, Ui))
-            Fr.append(fr)
-            Fi.append(fi)
-        Ur, Ui = gate
+        Fr, Fi, (Ur, Ui, *kv) = self._streamed_cross_fhat(
+            u_comp, w_comp, Ur, Ui, aux=(k0, k1, k2))
         # Projection + viscosity PER COMPONENT on the F̂ pieces.  The obvious
         #   F − stack([K0·d, K1·d, K2·d]) − ν k² Û
         # allocates a second full (3,…) pair plus the K⊙d broadcast stack
@@ -674,16 +696,25 @@ class NavierStokes3D(SpectralSolver):
         # memory ledger (benchmarks/memory_ledger.py).  Emitting one output
         # component at a time lets each F̂_c die as its output forms, and
         # stacking re before im keeps only one 3-stack copy in flight.
+        # ksq/inv are rebuilt per segment from the barrier-threaded vectors
+        # (see _streamed_cross_fhat on why hoisting them costs 864 MB each).
+        K0, K1, K2v = ks_of(kv)
+        Ks = (K0, K1, K2v)
+        ksq = K0 * K0 + K1 * K1 + K2v * K2v
         inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
         dr = (K0 * Fr[0] + K1 * Fr[1] + K2v * Fr[2]) * inv
         di = (K0 * Fi[0] + K1 * Fi[1] + K2v * Fi[2]) * inv
         outr, outi = [], []
-        g = (dr, di)
+        g = (dr, di, *kv)
         for c in range(3):
-            dr, di = g
+            dr, di, *kv = g
+            K0, K1, K2v = ks_of(kv)
+            Ks = (K0, K1, K2v)
+            ksq = K0 * K0 + K1 * K1 + K2v * K2v
             oc_r = Fr[c] - Ks[c] * dr - self.nu * ksq * Ur[c]
             oc_i = Fi[c] - Ks[c] * di - self.nu * ksq * Ui[c]
-            oc_r, oc_i, *g = lax.optimization_barrier((oc_r, oc_i, dr, di))
+            oc_r, oc_i, *g = lax.optimization_barrier(
+                (oc_r, oc_i, dr, di, *kv))
             outr.append(oc_r)
             outi.append(oc_i)
         R = jnp.stack(outr)

@@ -65,11 +65,36 @@ class VorticityVelocity3D(SpectralSolver):
         return self._plan("velocity", build)(W_hat, *self._complex_k_args())
 
     def taylor_green(self):
-        ns = NavierStokes3D(self.FFT, nu=self.nu, dt=self.dt, dealias=self.dealias)
-        W = self.from_velocity(ns.taylor_green())
-        if self.spectral_layout == "packed":
-            return self.to_packed(W)
-        return W
+        ns = NavierStokes3D(self.FFT, nu=self.nu, dt=self.dt,
+                            dealias=self.dealias,
+                            spectral_layout=self.spectral_layout)
+        if self.spectral_layout != "packed":
+            return self.from_velocity(ns.taylor_green())
+        # Packed end to end: the complex route materialises û (one jit
+        # output) and ω̂ (a second) — two full complex 3-stacks, 20.2 GB at
+        # 768³ (measured OOM, round 4).  Here ω̂ = i k × û is float-pair
+        # algebra on the packed pair, one component at a time, with the
+        # velocity pair donated so the output can reuse its buffers.
+        Ur, Ui = ns.taylor_green()
+        k0, k1, k2 = self._packed_arrays()[:3]
+
+        def f(Ur, Ui, k0, k1, k2):
+            from jax import lax
+            outs = []
+            g = (Ur, Ui, k0, k1, k2)
+            for c in range(3):
+                Ur, Ui, k0, k1, k2 = g
+                K = (k0[:, None, None], k1[None, :, None], k2[None, None, :])
+                j, k = (c + 1) % 3, (c + 2) % 3
+                wr = -(K[j] * Ui[k] - K[k] * Ui[j])
+                wi = K[j] * Ur[k] - K[k] * Ur[j]
+                wr, wi, *g = lax.optimization_barrier(
+                    (wr, wi, Ur, Ui, k0, k1, k2))
+                outs.append((wr, wi))
+            R = jnp.stack([o[0] for o in outs])
+            R, *ims = lax.optimization_barrier((R, *[o[1] for o in outs]))
+            return R, jnp.stack(ims)
+        return jax.jit(f, donate_argnums=(0, 1))(Ur, Ui, k0, k1, k2)
 
     # -- dynamics ----------------------------------------------------------------
 
@@ -96,9 +121,67 @@ class VorticityVelocity3D(SpectralSolver):
                           1j * (K0 * F_hat[1] - K1 * F_hat[0])]) \
             - self.nu * ksq[None] * W_hat
 
+    def _rhs_packed_lowmem(self, Wr, Wi, k0, k1, k2, m0, m1, m2):
+        """VV RHS with the nonlinear term streamed one component at a time
+        (`SpectralSolver._streamed_cross_fhat`; engages at 768-class where
+        the U and ω physical 3-stacks cannot co-live in 16 GB), followed by
+        a per-component curl + viscosity epilogue."""
+        from jax import lax
+
+        def ks_of(kv):                       # per-segment broadcast factors
+            return (kv[0][:, None, None], kv[1][None, :, None],
+                    kv[2][None, None, :])
+
+        def biot_savart_part(Wr, Wi, kv, c, re: bool):
+            # ONE plane of û_c = i(k×Ŵ)_c/k²; ksq/inv are rebuilt per call
+            # from the barrier-threaded vectors so the whole expression is
+            # a single fusion — a SHARED inv (two consumers) materialises a
+            # resident 864 MB buffer at 768³ (measured in the AOT dump,
+            # the +0.85 GiB VV carried over NS's ledger)
+            Ks = ks_of(kv)
+            ksq = Ks[0] * Ks[0] + Ks[1] * Ks[1] + Ks[2] * Ks[2]
+            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+            j, k = (c + 1) % 3, (c + 2) % 3
+            if re:
+                return -(Ks[j] * Wi[k] - Ks[k] * Wi[j]) * inv
+            return (Ks[j] * Wr[k] - Ks[k] * Wr[j]) * inv
+
+        def u_comp(Wr, Wi, kv, c):           # physical U_c = ifft(i(k×Ŵ)_c/k²)
+            ur = biot_savart_part(Wr, Wi, kv, c, re=True)
+            ur, Wr, Wi, *kv = lax.optimization_barrier((ur, Wr, Wi, *kv))
+            ui = biot_savart_part(Wr, Wi, kv, c, re=False)
+            return self._bwd_pk((ur, ui))
+
+        def w_comp(Wr, Wi, kv, c):           # physical ω_c
+            return self._bwd_pk((Wr[c], Wi[c]))
+
+        Fr, Fi, (Wr, Wi, *kv) = self._streamed_cross_fhat(
+            u_comp, w_comp, Wr, Wi, aux=(k0, k1, k2))
+        # dω̂_i = (i k × F̂)_i − ν k² ω̂_i, one output component at a time
+        # (i k× in (re, im) parts with (j, k) = (i+1, i+2):
+        # re_i = −(K_j Fi_k − K_k Fi_j), im_i = K_j Fr_k − K_k Fr_j).
+        # ksq is rebuilt per segment from the barrier-threaded vectors.
+        outr, outi = [], []
+        g = tuple(kv)
+        for i in range(3):
+            kv = g
+            Ks = ks_of(kv)
+            ksq = Ks[0] * Ks[0] + Ks[1] * Ks[1] + Ks[2] * Ks[2]
+            j, k = (i + 1) % 3, (i + 2) % 3
+            oc_r = -(Ks[j] * Fi[k] - Ks[k] * Fi[j]) - self.nu * ksq * Wr[i]
+            oc_i = (Ks[j] * Fr[k] - Ks[k] * Fr[j]) - self.nu * ksq * Wi[i]
+            oc_r, oc_i, *g = lax.optimization_barrier((oc_r, oc_i, *kv))
+            outr.append(oc_r)
+            outi.append(oc_i)
+        R = jnp.stack(outr)
+        R, *outi = lax.optimization_barrier((R, *outi))
+        return R, jnp.stack(outi)
+
     def rhs_packed(self, Wr, Wi, k0, k1, k2, m0, m1, m2):
         """Packed-pair vorticity-form RHS: Biot–Savart recovery and the curl
         of the nonlinear term as pure float-pair algebra."""
+        if self._nl_stream_on():
+            return self._rhs_packed_lowmem(Wr, Wi, k0, k1, k2, m0, m1, m2)
         # û = i(k×ω̂)/k² — rides the fused Biot–Savart curl kernel serially
         W, U = self._bwd_state_curl_pk(Wr, Wi, k0, k1, k2,
                                        biot_savart=True)
@@ -132,21 +215,36 @@ class VorticityVelocity3D(SpectralSolver):
         """Mean kinetic energy of the Biot–Savart velocity."""
         if self.spectral_layout == "packed":
             def build():
+                from jax import lax
                 comp = self._parseval_component_energies()
 
-                def ke(Wr, Wi, k0, k1, k2, *rest):
-                    K0 = k0[:, None, None]
-                    K1 = k1[None, :, None]
-                    K2v = k2[None, None, :]
-                    ksq = K0 * K0 + K1 * K1 + K2v * K2v
+                def part(Wr, Wi, kv, c, re):     # one plane of û_c=i(k×Ŵ)_c/k²
+                    K = (kv[0][:, None, None], kv[1][None, :, None],
+                         kv[2][None, None, :])
+                    ksq = K[0] * K[0] + K[1] * K[1] + K[2] * K[2]
                     inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+                    j, k = (c + 1) % 3, (c + 2) % 3
+                    if re:
+                        return -(K[j] * Wi[k] - K[k] * Wi[j]) * inv
+                    return (K[j] * Wr[k] - K[k] * Wr[j]) * inv
 
-                    def kx(V):
-                        return jnp.stack([K1 * V[2] - K2v * V[1],
-                                          K2v * V[0] - K0 * V[2],
-                                          K0 * V[1] - K1 * V[0]])
-                    Uvr, Uvi = -kx(Wi) * inv, kx(Wr) * inv
-                    return jnp.sum(comp(Uvr, Uvi))
+                def ke(Wr, Wi, k0, k1, k2, *rest):
+                    # one û component at a time: the stacked Biot–Savart
+                    # spectra are a second full state pair (5.06 GiB at
+                    # 768³) — the diagnostic OOM'd the chip while the
+                    # streamed STEP fit (measured, round 4)
+                    total = 0.0
+                    g = (Wr, Wi, k0, k1, k2)
+                    for c in range(3):
+                        Wr, Wi, *kv = g
+                        uvr = part(Wr, Wi, kv, c, True)
+                        uvr, Wr, Wi, *kv = lax.optimization_barrier(
+                            (uvr, Wr, Wi, *kv))
+                        uvi = part(Wr, Wi, kv, c, False)
+                        total = total + jnp.sum(comp(uvr, uvi))
+                        total, *g = lax.optimization_barrier(
+                            (total, Wr, Wi, *kv))
+                    return total
                 return ke
             return float(self._plan("energy_packed_vv", build)(
                 W_hat[0], W_hat[1], *self._step_args()))

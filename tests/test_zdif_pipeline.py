@@ -252,6 +252,27 @@ def test_nl_streamed_rhs_matches_generic(rng, monkeypatch):
         assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
 
 
+def test_vv_nl_streamed_rhs_matches_generic(rng, monkeypatch):
+    """VV's streamed RHS (Biot–Savart single-component recovery +
+    per-component curl/viscosity epilogue) == the generic packed VV RHS."""
+    from mpifft4py_tpu.models.vv import VorticityVelocity3D
+
+    shape = (16, 16, N2)
+    FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 1, "single")
+    s = VorticityVelocity3D(FFT, nu=0.01, dt=0.001, dealias="2/3-rule",
+                            spectral_layout="packed")
+    U = jnp.asarray(rng.standard_normal((3,) + shape).astype(np.float32))
+    S = s._fwd_pk(U)
+    kargs = s._packed_arrays()
+    monkeypatch.setenv("MPIFFT4PY_TPU_NL_STREAM", "0")
+    generic = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    monkeypatch.setenv("MPIFFT4PY_TPU_NL_STREAM", "1")
+    streamed = jax.jit(lambda a, b: s.rhs_packed(a, b, *kargs))(*S)
+    scale = np.abs(np.asarray(generic[0])).max()
+    for g, f in zip(generic, streamed):
+        assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
+
+
 def test_api_zdif_auto_gate(monkeypatch):
     """auto = 1024-class only (the measured win size); 0/1 force."""
     monkeypatch.delenv("MPIFFT4PY_TPU_API_ZDIF", raising=False)
