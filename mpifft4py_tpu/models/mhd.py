@@ -183,14 +183,29 @@ class MHD3D(SpectralSolver):
         Ur, Ui = UBr[:3], UBi[:3]
         Br, Bi = UBr[3:], UBi[3:]
         kargs = (k0, k1, k2, m0, m1, m2)
+        # 2N-storage integrators carry an extra (6,…) accumulator pair
+        # beside the state; at 512³ that pushed LSRK54 to 17.26 GiB
+        # (14.25 real + 3.01 fragmentation, AOT ledger).  Trading the held
+        # physical U stack (1.5 GiB across the whole b/j + momentum window)
+        # for one extra batched inverse per RHS is what makes LSRK54 fit.
+        recompute_u = self.integrator in ("LSRK54", "AB2")
         U, W = self._bwd_state_curl_pk(Ur, Ui, k0, k1, k2)
         P1r, P1i = p3.cross_rfft_zy_packed(U, W, dif=True)   # Ẑ(u×ω); ω dies
-        P1r, P1i, Brs, Bis = lax.optimization_barrier((P1r, P1i, Br, Bi))
-        B, J = self._bwd_state_curl_pk(Brs, Bis, k0, k1, k2)
+        P1r, P1i, Brs, Bis, Urs, Uis = lax.optimization_barrier(
+            (P1r, P1i, Br, Bi, Ur, Ui))                      # (recompute: U
+        B, J = self._bwd_state_curl_pk(Brs, Bis, k0, k1, k2)  # dies here too)
         P2r, P2i = p3.cross_rfft_zy_packed(J, B, dif=True)   # Ẑ(j×b); j dies
         dUr, dUi = p3.fft_x_epilogue_packed(P1r + P2r, P1i + P2i, Ur, Ui,
                                             *kargs, "project", self.nu)
         dUr, dUi = p3.purify_plane0_dus(dUr, dUi)
+        if recompute_u:
+            # rebuild the physical velocity for the induction cross from the
+            # barrier-threaded spectral state (a plain batched inverse — a
+            # DIFFERENT program from the fused state+curl kernel, so no CSE
+            # resurrects the original buffer)
+            dUr, dUi, Urs, Uis = lax.optimization_barrier(
+                (dUr, dUi, Urs, Uis))
+            U = self._bwd_pk((Urs, Uis))
         # induction last: only U, B still live among the physical stacks
         Fbr, Fbi = p3.cross_rfft_zy_packed(U, B, dif=True)
         dBr, dBi = p3.fft_x_epilogue_packed(Fbr, Fbi, Br, Bi, *kargs,

@@ -508,10 +508,20 @@ class SpectralSolver:
             return tm(lambda u, a, b, c, d: u + (dt / 6.0) * (a + 2 * b + 2 * c + d),
                       U, k1, k2, k3, k4)
         if it == "LSRK54":
+            # big states: a barrier between the two axpys lets the stage's
+            # RHS output die before the new U allocates — without it the
+            # peak slice co-holds r + dU + U_old + U_new (4 state-sized
+            # pytrees; the binding allocation of the MHD-512³ LSRK54 ledger,
+            # navier_stokes.py axpy fusions in the AOT dump).  Gated on
+            # state size: for small states the fused single pass is faster.
+            big = sum(l.size * l.dtype.itemsize
+                      for l in jax.tree.leaves(U)) > 2e9
             dU = None
             for a, b in zip(_LSRK54_A, _LSRK54_B):
                 r = rhs1(U)
                 dU = r if dU is None else tm(lambda f, g: f + a * g, r, dU)
+                if big:
+                    dU = jax.lax.optimization_barrier(dU)
                 U = tm(lambda u, g: u + dt * b * g, U, dU)
             return U
         if it == "Euler":

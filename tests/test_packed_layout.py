@@ -366,16 +366,19 @@ def test_cross2_split_matches_direct(rng, monkeypatch):
         assert np.abs(np.asarray(g) - np.asarray(f)).max() < 1e-5 * scale
 
 
-def test_mhd_rhs_packed_seq_matches_generic(rng, monkeypatch):
+@pytest.mark.parametrize("integrator", ["RK4", "LSRK54"])
+def test_mhd_rhs_packed_seq_matches_generic(rng, monkeypatch, integrator):
     """MHD's peak-HBM-sequenced RHS (_rhs_packed_seq: split cross2 +
     optimization_barrier stack sequencing — the 512³ single-chip route) ==
-    the generic packed RHS."""
+    the generic packed RHS.  LSRK54 exercises the recompute-U variant
+    (the physical velocity is rebuilt for the induction cross instead of
+    held across the b/j window — the 2N-storage memory trade)."""
     from mpifft4py_tpu.models.mhd import MHD3D
 
     shape = (16, 64, 256)
     FFT = slab.R2C(np.array(shape), np.array([TAU] * 3), 1, "single")
     s = MHD3D(FFT, nu=0.01, eta=0.02, dt=0.001, dealias="2/3-rule",
-              spectral_layout="packed")
+              spectral_layout="packed", integrator=integrator)
     assert s._nl_fused
     U = jnp.asarray(rng.standard_normal((6,) + shape).astype(np.float32))
     ar, ai = s._fwd_pk(U[:3])
