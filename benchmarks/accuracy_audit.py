@@ -86,6 +86,12 @@ def main():
         audit_fp32(N, rows)
         print(json.dumps(rows[-3:]), flush=True)
     audit_dd(64, rows)
+    if "--dd256" in sys.argv:
+        # VERDICT r4 item 5: does <1e-12 hold at a size where twiddle error
+        # actually accumulates?  (The dd path is zdif-independent — separate
+        # Stockham kernels — see tests/test_doubledouble.py.)
+        audit_dd(256, rows)
+        print(json.dumps(rows[-2:]), flush=True)
     print(json.dumps({"accuracy_audit": rows,
                       "backend": jax.default_backend()}))
     if "--out" in sys.argv:

@@ -181,6 +181,14 @@ def main():
             Boussinesq3D(F, nu=1/1600, kappa=1/1600, dt=0.001, Ri=0.5,
                          dealias="2/3-rule", spectral_layout="packed",
                          integrator="LSRK54")), 512, 3)
+    elif mode == "--bq512rk4":
+        # round 5: classical RK4 at 512³/4 components via the streaming-fold
+        # RHS (per-slice accumulators; AOT ledger 12.51 GiB — RK4 had been
+        # HBM-impossible at this size since round 3)
+        bench("Boussinesq-RK4-fold", lambda F: (lambda s: (s, s.taylor_green_stratified()))(
+            Boussinesq3D(F, nu=1/1600, kappa=1/1600, dt=0.001, Ri=0.5,
+                         dealias="2/3-rule", spectral_layout="packed",
+                         integrator="RK4")), 512, 3)
     print(json.dumps({"rows": rows}))
 
 

@@ -35,6 +35,11 @@ def main():
         u = jax.device_put(np.random.default_rng(0)
                            .standard_normal((N, N)).astype(np.float32))
         for tier, env in (("pallas", "1"), ("xla", "0")):
+            # NOTE (ADVICE r4 item 3): toggling the env var after fwd/bwd are
+            # built only works because utils.profiling.measure jits a FRESH
+            # closure per call, so _pallas2d_ok is re-read at trace time.  If
+            # measure ever caches traced programs, rebuild fwd/bwd (or the
+            # FFT object) inside this loop instead.
             os.environ["MPIFFT4PY_TPU_PALLAS2D"] = env
             if tier == "pallas" and not FFT._pallas2d_ok(None):
                 rows.append({"N": N, "tier": tier, "skip": "gate off"})

@@ -88,6 +88,8 @@ def main():
     except Exception as e:  # XLA OOM: parse "Used X of Y hbm" from the report
         import re
         msg = str(e)
+        if "--dump" in sys.argv:      # full largest-allocations report
+            sys.stderr.write(msg + "\n")
         m = re.search(r"Used ([\d.]+)G of ([\d.]+)G", msg)
         f = re.search(r"([\d.]+)% fragmentation \(([\d.]+)G", msg)
         out.update({"ok": False,
@@ -99,14 +101,21 @@ def main():
             raise
         return
     ma = c.memory_analysis()
+    # Peak = arguments + temps + any NON-aliased output residue.  Outputs are
+    # normally donation-aliased into the arguments (alias == output); if XLA
+    # declines donation (dtype/layout mismatch, future integrator carries)
+    # the un-aliased part is real extra residency — count it, don't hide it
+    # (ADVICE r4 item 2).
+    unaliased = max(0, ma.output_size_in_bytes - ma.alias_size_in_bytes)
     out.update({
         "ok": True,
         "args_gib": round(ma.argument_size_in_bytes / gib, 3),
         "output_gib": round(ma.output_size_in_bytes / gib, 3),
         "alias_gib": round(ma.alias_size_in_bytes / gib, 3),
         "temp_gib": round(ma.temp_size_in_bytes / gib, 3),
+        "unaliased_out_gib": round(unaliased / gib, 3),
         "peak_gib": round((ma.argument_size_in_bytes
-                           + ma.temp_size_in_bytes) / gib, 3),
+                           + ma.temp_size_in_bytes + unaliased) / gib, 3),
     })
     print(json.dumps(out), flush=True)
 

@@ -158,6 +158,66 @@ class Boussinesq3D(SpectralSolver):
         return (jnp.concatenate([dUr, dTr[None]]),
                 jnp.concatenate([dUi, dTi[None]]))
 
+    # -- streaming-fold RHS (round 5) ------------------------------------------
+
+    def _fold_slices(self):
+        return [slice(0, 3), slice(3, 4)]
+
+    def rhs_packed_fold(self, Sr, Si, kargs, fold, carry):
+        """Boussinesq RHS emitting (momentum, scalar-flux) pieces through
+        the integrator's fold callback — the full (4, …) RHS stack never
+        materialises.  The scalar piece recomputes the physical velocity
+        from the barrier-threaded spectral state (one extra batched inverse
+        per RHS), so no physical stack lives across a fold boundary."""
+        from jax import lax
+        k0, k1, k2, m0, m1, m2 = kargs
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+
+        def kdot(V):
+            return K0 * V[0] + K1 * V[1] + K2v * V[2]
+
+        # ---- piece 1: momentum  P[F̂(u×ω) + Ri θ̂ ê_z] − ν k² û ------------
+        # barriers thread the FULL state arrays, slicing fresh per phase
+        # (threaded slices ledger as extra state-width copies — round 5)
+        U, W = self._bwd_state_curl_pk(Sr[:3], Si[:3], k0, k1, k2)
+        if self._nl_any_fused:
+            dUr, dUi = self._nl_fwd_epilogue_pk(
+                U, W, Sr[:3], Si[:3], kargs, "project", self.nu,
+                buoy=(Sr[3][None], Si[3][None], self.Ri))
+        else:
+            Ur, Ui = Sr[:3], Si[:3]
+            Tr, Ti = Sr[3], Si[3]
+            F = jnp.stack([U[1] * W[2] - U[2] * W[1],
+                           U[2] * W[0] - U[0] * W[2],
+                           U[0] * W[1] - U[1] * W[0]])
+            Fr, Fi = self._fwd_pk(F)
+            Fr = Fr.at[2].add(self.Ri * Tr)
+            Fi = Fi.at[2].add(self.Ri * Ti)
+            ksq = K0 * K0 + K1 * K1 + K2v * K2v
+            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+            dr = kdot(Fr) * inv
+            di = kdot(Fi) * inv
+            dUr = (Fr - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+                   - self.nu * ksq[None] * Ur)
+            dUi = (Fi - jnp.stack([K0 * di, K1 * di, K2v * di])
+                   - self.nu * ksq[None] * Ui)
+        carry = fold(slice(0, 3), dUr, dUi, carry)
+        Sr, Si, *carry = lax.optimization_barrier((Sr, Si, *carry))
+        # ---- piece 2: scalar flux  dθ̂ = −i k·F̂(uθ) − κ k² θ̂ --------------
+        U = self._bwd_pk((Sr[:3], Si[:3]))  # plain batched inverse (no CSE
+        th = self._bwd_pk((Sr[3], Si[3]))   # with the fused phase-1 kernel)
+        if self._nl_any_fused:
+            dTr, dTi = self._nl_mul_epilogue_pk(
+                U, th[None], Sr[3][None], Si[3][None], kargs, self.kappa)
+        else:
+            Gr, Gi = self._fwd_pk(U * th[None])
+            ksq = K0 * K0 + K1 * K1 + K2v * K2v
+            dTr = (kdot(Gi) - self.kappa * ksq * Sr[3])[None]
+            dTi = (-kdot(Gr) - self.kappa * ksq * Si[3])[None]
+        return fold(slice(3, 4), dTr, dTi, carry)
+
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics ---------------------------------------------------------------

@@ -213,6 +213,93 @@ class MHD3D(SpectralSolver):
         dBr, dBi = p3.purify_plane0_dus(dBr, dBi)
         return (jnp.concatenate([dUr, dBr]), jnp.concatenate([dUi, dBi]))
 
+    # -- streaming-fold RHS (round 5) ------------------------------------------
+
+    def _fold_slices(self):
+        return [slice(0, 3), slice(3, 6)]
+
+    def rhs_packed_fold(self, UBr, UBi, kargs, fold, carry):
+        """Sequenced MHD RHS emitting (momentum, induction) pieces through
+        the integrator's fold callback — the full (6, …) RHS stack never
+        materialises (the round-4 LSRK54 miss was 17.4% allocator
+        fragmentation driven by the co-held r + dU 1.5 GiB stacks;
+        BENCH.md round 4).  Phase discipline matches ``_rhs_packed_seq``:
+        the u×ω pass completes before b/j materialise, and the induction
+        piece recomputes the physical u/b stacks from the barrier-threaded
+        spectral state (one extra batched inverse per RHS — the price of
+        never holding a physical stack across a fold boundary)."""
+        from jax import lax
+
+        from ..ops import pallas_fft3d as p3
+        k0, k1, k2, m0, m1, m2 = kargs
+        K0 = k0[:, None, None]
+        K1 = k1[None, :, None]
+        K2v = k2[None, None, :]
+
+        def cross(A, B):
+            return jnp.stack([A[1] * B[2] - A[2] * B[1],
+                              A[2] * B[0] - A[0] * B[2],
+                              A[0] * B[1] - A[1] * B[0]])
+
+        def kx(V):
+            return jnp.stack([K1 * V[2] - K2v * V[1],
+                              K2v * V[0] - K0 * V[2],
+                              K0 * V[1] - K1 * V[0]])
+
+        split_512 = (getattr(self, "_nl_fused", False)
+                     and not p3.cross2_direct_ok(int(self.FFT.N[1]),
+                                                 int(self.FFT.N[2]))
+                     and p3.cross_zy_ok(int(self.FFT.N[1]),
+                                        int(self.FFT.N[2])))
+        # ---- piece 1: momentum  d(û) = P[F̂(u×ω + j×b)] − ν k² û ----------
+        # barriers thread the FULL state arrays, slicing fresh per phase —
+        # threading the four slices ledgered as twelve extra 768 MB slice
+        # copies at 512³ (the round-5 fold dump)
+        U, W = self._bwd_state_curl_pk(UBr[:3], UBi[:3], k0, k1, k2)
+        if split_512:
+            P1r, P1i = p3.cross_rfft_zy_packed(U, W, dif=True)  # ω, U die
+            P1r, P1i, UBr, UBi, *carry = lax.optimization_barrier(
+                (P1r, P1i, UBr, UBi, *carry))
+            B, J = self._bwd_state_curl_pk(UBr[3:], UBi[3:], k0, k1, k2)
+            P2r, P2i = p3.cross_rfft_zy_packed(J, B, dif=True)  # j, b die
+            dUr, dUi = p3.fft_x_epilogue_packed(P1r + P2r, P1i + P2i,
+                                                UBr[:3], UBi[:3], *kargs,
+                                                "project", self.nu)
+            dUr, dUi = p3.purify_plane0_dus(dUr, dUi)
+        else:
+            B, J = self._bwd_state_curl_pk(UBr[3:], UBi[3:], k0, k1, k2)
+            if self._nl_any_fused:
+                dUr, dUi = self._nl_fwd_epilogue_pk(
+                    U, W, UBr[:3], UBi[:3], kargs, "project", self.nu,
+                    C=J, D=B)
+            else:
+                Ur, Ui = UBr[:3], UBi[:3]
+                Fur, Fui = self._fwd_pk(cross(U, W) + cross(J, B))
+                ksq = K0 * K0 + K1 * K1 + K2v * K2v
+                inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+                dr = (K0 * Fur[0] + K1 * Fur[1] + K2v * Fur[2]) * inv
+                di = (K0 * Fui[0] + K1 * Fui[1] + K2v * Fui[2]) * inv
+                dUr = (Fur - jnp.stack([K0 * dr, K1 * dr, K2v * dr])
+                       - self.nu * ksq[None] * Ur)
+                dUi = (Fui - jnp.stack([K0 * di, K1 * di, K2v * di])
+                       - self.nu * ksq[None] * Ui)
+        carry = fold(slice(0, 3), dUr, dUi, carry)
+        UBr, UBi, *carry = lax.optimization_barrier((UBr, UBi, *carry))
+        # ---- piece 2: induction  d(b̂) = iK×F̂(u×b) − η k² b̂ ---------------
+        # plain batched inverses (a DIFFERENT program from the fused
+        # state+curl kernel, so no CSE resurrects the phase-1 buffers)
+        U = self._bwd_pk((UBr[:3], UBi[:3]))
+        B = self._bwd_pk((UBr[3:], UBi[3:]))
+        if self._nl_any_fused:
+            dBr, dBi = self._nl_fwd_epilogue_pk(
+                U, B, UBr[3:], UBi[3:], kargs, "curl", self.eta)
+        else:
+            Fbr, Fbi = self._fwd_pk(cross(U, B))
+            ksq = K0 * K0 + K1 * K1 + K2v * K2v
+            dBr = -kx(Fbi) - self.eta * ksq[None] * UBr[3:]
+            dBi = kx(Fbr) - self.eta * ksq[None] * UBi[3:]
+        return fold(slice(3, 6), dBr, dBi, carry)
+
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 
     # -- diagnostics --------------------------------------------------------------

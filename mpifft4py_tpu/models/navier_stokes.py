@@ -83,12 +83,13 @@ class SpectralSolver:
         self._step = None
         self._solver_plans = {}
 
-    def _plan(self, key, builder):
+    def _plan(self, key, builder, **jit_kwargs):
         """Cached jit of ``builder()`` — diagnostics called per-step must not
-        retrace (a remote compile through the relay is 20-60 s each)."""
+        retrace (a remote compile through the relay is 20-60 s each).
+        ``jit_kwargs`` (e.g. donate_argnums) are applied on first build."""
         fn = self._solver_plans.get(key)
         if fn is None:
-            fn = self._solver_plans[key] = jax.jit(builder())
+            fn = self._solver_plans[key] = jax.jit(builder(), **jit_kwargs)
         return fn
 
     # -- wavenumber machinery -------------------------------------------------
@@ -402,9 +403,179 @@ class SpectralSolver:
             ur, ui = jnp.take(ur, ip, axis=-1), jnp.take(ui, ip, axis=-1)
         return p3.unpack_spectrum(ur, ui)
 
+    # -- streaming-fold RHS API (round 5) --------------------------------------
+    #
+    # For big multi-field states the classical contract "rhs() returns the
+    # full (C, …) stack" is what breaks the HBM budget: LSRK54 at MHD-512³
+    # co-holds r + dU + U plus 3.01 GiB of allocator fragmentation from the
+    # 1.5 GiB contiguous stacks — 17.26 of 15.75 GiB while the real content
+    # is 14.25 (BENCH.md round 4, "anatomy of the LSRK54 miss").  The fold
+    # API inverts control: the model EMITS per-slice RHS pieces through a
+    # fold callback that accumulates them into dU in place
+    # (``acc.at[sl].set(a·acc[sl] + piece)``), so the full RHS stack never
+    # exists and the only state-wide persistent buffers are the state pair
+    # and the accumulator pair.
+    #
+    # Contract:
+    #   * ``_fold_slices()`` — static partition of the component axis (a list
+    #     of ``slice`` objects), or None when the model has no fold path.
+    #   * ``rhs_packed_fold(Sr, Si, kargs, fold, carry)`` — compute the RHS
+    #     piecewise; for each piece call
+    #     ``carry = fold(sl, pr, pi, carry, first=...)`` (pr/pi shaped
+    #     ``(len(sl),) + plane``) and THREAD the returned carry through the
+    #     model's own optimization_barriers between pieces (the fold's
+    #     in-place update must be ordered against the next piece's work or
+    #     XLA will co-schedule them).  ``first=True`` (default) marks the
+    #     first emission for that slice in this evaluation — it applies the
+    #     integrator's accumulator scaling; later emissions to the same
+    #     slice are pure adds (used for linear correction passes, e.g. the
+    #     incremental Leray projection).  Every slice must get exactly one
+    #     ``first=True`` emission per evaluation.
+
+    def _fold_slices(self):
+        """Model hook: the static component-axis partition emitted by
+        ``rhs_packed_fold``, or None when the model has no fold path."""
+        return None
+
+    def rhs_packed_fold(self, Sr, Si, kargs, fold, carry):
+        raise NotImplementedError
+
+    def _rhs_fold_on(self) -> bool:
+        """Streaming-fold integrator path: auto-engages for LSRK54/RK4 on
+        packed states whose pair exceeds ~2 GB (the regime where holding the
+        full RHS stack beside the accumulator breaks the 16 GB budget —
+        MHD/Bq at 512³, NS/VV at 768³).  MPIFFT4PY_TPU_RHS_FOLD=0/1
+        forces."""
+        import os
+        if self._fold_slices() is None:
+            return False
+        env = os.environ.get("MPIFFT4PY_TPU_RHS_FOLD", "auto")
+        if env in ("0", "1"):
+            return env == "1"
+        if self.integrator not in ("LSRK54", "RK4"):
+            return False
+        ncomp = max(sl.stop for sl in self._fold_slices())
+        N = [int(n) for n in self.FFT.N]
+        pair_bytes = 2 * ncomp * N[0] * N[1] * (N[2] // 2) * 4
+        return pair_bytes > 2e9
+
+    def _advance_packed_fold(self, U, kargs):
+        """LSRK54 / RK4 with the RHS folded piecewise into the accumulator.
+
+        The accumulator lives as PER-SLICE arrays, never a full (C, …)
+        stack: a ``zeros_like``-initialised stack ledgered as a resident
+        1.5 GiB ``broadcast(constant)`` block at MHD-512³ and the
+        ``.at[sl]`` update pattern kept full-width temps alive — per-slice
+        buffers are both smaller (less allocator fragmentation, the round-4
+        miss mode) and born directly from the first evaluation's pieces.
+        LSRK54 persistent buffers: state pair + per-slice accumulator pairs
+        (2 state widths total; the classical path's third — the full RHS
+        stack r — never exists).  RK4: U0 + stage input + next-stage input
+        + accumulator (4 widths; classical RK4 holds k1..k4 + U = 5+).
+        State updates are in-place ``.at[sl]`` ops on the donated carry,
+        one slice at a time, so no state-wide temp forms."""
+        from jax import lax
+        dt = self.dt
+        slices = self._fold_slices()
+        Sr, Si = U
+
+        if self.integrator == "LSRK54":
+            # carry = per-slice (re, im) accumulators, flat, in slice order;
+            # empty before the first evaluation (entries appear as pieces
+            # first emit — no zeros-stack init).
+            acc = ()
+            for a, b in zip(_LSRK54_A, _LSRK54_B):
+                def fold(sl, pr, pi, carry, first=True, a=a):
+                    carry = tuple(carry)   # models may thread back a list
+                    i = 2 * slices.index(sl)
+                    if len(carry) <= i:         # first-ever emission
+                        assert first and len(carry) == i
+                        carry = carry + (pr, pi)
+                    elif first and a == 0.0:
+                        carry = carry[:i] + (pr, pi) + carry[i + 2:]
+                    elif first:
+                        carry = (carry[:i]
+                                 + (a * carry[i] + pr, a * carry[i + 1] + pi)
+                                 + carry[i + 2:])
+                    else:       # linear correction pass: pure add
+                        carry = (carry[:i]
+                                 + (carry[i] + pr, carry[i + 1] + pi)
+                                 + carry[i + 2:])
+                    return tuple(lax.optimization_barrier(carry))
+                acc = self.rhs_packed_fold(Sr, Si, kargs, fold, acc)
+                for j, sl in enumerate(slices):  # state axpy, per slice
+                    Sr = Sr.at[sl].add(dt * b * acc[2 * j])
+                    Si = Si.at[sl].add(dt * b * acc[2 * j + 1])
+                    Sr, Si, *acc = lax.optimization_barrier(
+                        (Sr, Si) + tuple(acc))
+                acc = tuple(acc)
+            return (Sr, Si)
+
+        # classical RK4: per-slice acc accumulates Σ w_i·k_i; the next stage
+        # input U0 + c_i·dt·k_i is built per slice as k_i emits and
+        # assembled once per stage.  Carry layout (fixed stride 4, built in
+        # slice order at stage 0): per slice j, (a_jr, a_ji, u_jr, u_ji);
+        # the u slots hold scalar dummies when no stage input is being
+        # built (after assembly / during the last stage).
+        ws = (1.0, 2.0, 2.0, 1.0)
+        cs = (0.5, 0.5, 1.0)
+        ns = len(slices)
+        U0r, U0i = Sr, Si
+        Utr, Uti = Sr, Si
+        dummy = jnp.zeros((), jnp.float32)
+        carry = ()
+        for i in range(4):
+            last = i == 3
+
+            def fold(sl, pr, pi, carry, first=True, i=i, last=last):
+                carry = tuple(carry)       # models may thread back a list
+                j4 = 4 * slices.index(sl)
+                w = ws[i]
+                if len(carry) <= j4:            # first-ever emission (i==0)
+                    assert first and i == 0 and len(carry) == j4
+                    entry = (pr, pi,
+                             U0r[sl] + cs[0] * dt * pr,
+                             U0i[sl] + cs[0] * dt * pi)
+                    carry = carry + entry
+                else:
+                    ar, ai, ur, ui = carry[j4:j4 + 4]
+                    ar, ai = ar + w * pr, ai + w * pi
+                    if last:
+                        pass                    # no stage input to build
+                    elif first:
+                        ur = U0r[sl] + cs[i] * dt * pr
+                        ui = U0i[sl] + cs[i] * dt * pi
+                    else:
+                        ur = ur + cs[i] * dt * pr
+                        ui = ui + cs[i] * dt * pi
+                    carry = carry[:j4] + (ar, ai, ur, ui) + carry[j4 + 4:]
+                return tuple(lax.optimization_barrier(carry))
+            carry = self.rhs_packed_fold(Utr, Uti, kargs, fold, carry)
+            if not last:
+                # assemble the next stage input; park dummies in the u slots
+                Utr = jnp.concatenate([carry[4 * j + 2] for j in range(ns)])
+                Uti = jnp.concatenate([carry[4 * j + 3] for j in range(ns)])
+                carry = sum(((carry[4 * j], carry[4 * j + 1], dummy, dummy)
+                             for j in range(ns)), ())
+                Utr, Uti, *carry = lax.optimization_barrier(
+                    (Utr, Uti) + tuple(carry))
+                carry = tuple(carry)
+        for j, sl in enumerate(slices):  # U_new = U0 + dt/6 · acc, per slice
+            U0r = U0r.at[sl].add((dt / 6.0) * carry[4 * j])
+            U0i = U0i.at[sl].add((dt / 6.0) * carry[4 * j + 1])
+            U0r, U0i, *carry = lax.optimization_barrier(
+                (U0r, U0i) + tuple(carry))
+            carry = tuple(carry)
+        return (U0r, U0i)
+
     def step_fn_packed(self):
         """Jittable step on the packed pair: ((Ur, Ui), k0, k1, k2, m0, m1,
         m2) with factored 1-D wavenumbers, through ``integrator``."""
+        if self._rhs_fold_on():
+            def step(U, *kargs):
+                return self._advance_packed_fold(U, kargs)
+            return step
+
         def step(U, *kargs):
             rhs1 = lambda V: self.rhs_packed(V[0], V[1], *kargs)
             return self._advance(rhs1, U)
@@ -730,6 +901,76 @@ class NavierStokes3D(SpectralSolver):
         R = jnp.stack(outr)
         R, *outi = lax.optimization_barrier((R, *outi))
         return R, jnp.stack(outi)
+
+    # -- streaming-fold RHS (round 5): per-component emission ------------------
+
+    def _fold_slices(self):
+        if self.forcing_band is not None and self.forcing_rate > 0:
+            return None             # band forcing needs the full spectrum
+        if self._nl_stream_on():
+            return [slice(c, c + 1) for c in range(3)]
+        return [slice(0, 3)]
+
+    def rhs_packed_fold(self, Sr, Si, kargs, fold, carry):
+        """NS RHS through the fold API.  In the streamed regime each
+        component's F̂ folds into the accumulator the moment its forward
+        completes (with its −νk²û term), while the Leray divisor
+        d = (K·F̂)/k² ACCUMULATES incrementally; the −K_c·d projection
+        correction then folds as a second linear pass — so neither the RHS
+        stack nor the F̂ stack ever exists (at 768³ the F̂ 3-pair alone is
+        5.06 GiB; holding it beside the LSRK54 accumulator is what priced
+        time-accurate stepping off the chip in round 4)."""
+        if not self._nl_stream_on():
+            pr, pi = self.rhs_packed(Sr, Si, *kargs)
+            return fold(slice(0, 3), pr, pi, carry)
+        from jax import lax
+        k0, k1, k2 = kargs[0], kargs[1], kargs[2]
+
+        def ks_of(kv):
+            return (kv[0][:, None, None], kv[1][None, :, None],
+                    kv[2][None, None, :])
+
+        def u_comp(Ur, Ui, kv, c):
+            return self._bwd_pk((Ur[c], Ui[c]))
+
+        def w_comp(Ur, Ui, kv, c):
+            Ks = ks_of(kv)
+            j, k = (c + 1) % 3, (c + 2) % 3
+            wr = -(Ks[j] * Ui[k] - Ks[k] * Ui[j])
+            wi = Ks[j] * Ur[k] - Ks[k] * Ur[j]
+            return self._bwd_pk((wr, wi))
+
+        Ur, Ui = Sr, Si
+        dr = di = None
+        kv = (k0, k1, k2)
+        for c in range(3):
+            j, k = (c + 1) % 3, (c + 2) % 3
+            t = u_comp(Ur, Ui, kv, j) * w_comp(Ur, Ui, kv, k)
+            t, Ur, Ui, *kv = lax.optimization_barrier((t, Ur, Ui, *kv))
+            t = t - u_comp(Ur, Ui, kv, k) * w_comp(Ur, Ui, kv, j)
+            t, Ur, Ui, *kv = lax.optimization_barrier((t, Ur, Ui, *kv))
+            fr, fi = self._fwd_pk(t)             # ONE forward per component
+            Ks = ks_of(kv)
+            ksq = Ks[0] * Ks[0] + Ks[1] * Ks[1] + Ks[2] * Ks[2]
+            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+            # divisor contribution (F̂_c dies after these two consumers)
+            cr, ci = Ks[c] * fr * inv, Ks[c] * fi * inv
+            dr = cr if dr is None else dr + cr
+            di = ci if di is None else di + ci
+            carry = fold(slice(c, c + 1),
+                         (fr - self.nu * ksq * Ur[c])[None],
+                         (fi - self.nu * ksq * Ui[c])[None], carry)
+            dr, di, Ur, Ui, *rest = lax.optimization_barrier(
+                (dr, di, Ur, Ui) + tuple(kv) + tuple(carry))
+            kv, carry = rest[:3], tuple(rest[3:])
+        for c in range(3):       # Leray correction: out_c += −K_c·d
+            Ks = ks_of(kv)
+            carry = fold(slice(c, c + 1), (-Ks[c] * dr)[None],
+                         (-Ks[c] * di)[None], carry, first=False)
+            dr, di, *rest = lax.optimization_barrier(
+                (dr, di) + tuple(kv) + tuple(carry))
+            kv, carry = rest[:3], tuple(rest[3:])
+        return carry
 
     def rhs_packed(self, Ur, Ui, k0, k1, k2, m0, m1, m2):
         if self._nl_stream_on():

@@ -94,7 +94,10 @@ class VorticityVelocity3D(SpectralSolver):
             R = jnp.stack([o[0] for o in outs])
             R, *ims = lax.optimization_barrier((R, *[o[1] for o in outs]))
             return R, jnp.stack(ims)
-        return jax.jit(f, donate_argnums=(0, 1))(Ur, Ui, k0, k1, k2)
+        # cached plan (ADVICE r4 item 1): a fresh jax.jit per call retraced
+        # and recompiled on every invocation (20-60 s each via the relay)
+        return self._plan("taylor_green_packed_curl", lambda: f,
+                          donate_argnums=(0, 1))(Ur, Ui, k0, k1, k2)
 
     # -- dynamics ----------------------------------------------------------------
 
@@ -206,6 +209,81 @@ class VorticityVelocity3D(SpectralSolver):
         # dω̂ = i k × F̂ − ν k² ω̂ → (re, im) = (−K×Fi, K×Fr) − ν k² (Wr, Wi)
         return (-kx(Fi) - self.nu * ksq[None] * Wr,
                 kx(Fr) - self.nu * ksq[None] * Wi)
+
+    # -- streaming-fold RHS (round 5): per-component emission ------------------
+
+    def _fold_slices(self):
+        if self._nl_stream_on():
+            return [slice(c, c + 1) for c in range(3)]
+        return [slice(0, 3)]
+
+    def rhs_packed_fold(self, Sr, Si, kargs, fold, carry):
+        """VV RHS through the fold API.  Streamed regime: the viscous terms
+        −νk²ω̂_c emit first (one scaled piece per slice), then each
+        component's F̂ folds its two curl contributions into the OTHER two
+        slices as pure adds the moment its forward completes — the curl
+        (i k × F̂)_i mixes exactly the two other F̂ components, so no F̂
+        stack is needed:  F̂_m contributes (−K_{m+2}·Fi_m, +K_{m+2}·Fr_m)
+        to slice m+1 and (+K_{m+1}·Fi_m, −K_{m+1}·Fr_m) to slice m+2."""
+        if not self._nl_stream_on():
+            pr, pi = self.rhs_packed(Sr, Si, *kargs)
+            return fold(slice(0, 3), pr, pi, carry)
+        from jax import lax
+        k0, k1, k2 = kargs[0], kargs[1], kargs[2]
+
+        def ks_of(kv):
+            return (kv[0][:, None, None], kv[1][None, :, None],
+                    kv[2][None, None, :])
+
+        def biot_savart_part(Wr, Wi, kv, c, re):
+            Ks = ks_of(kv)
+            ksq = Ks[0] * Ks[0] + Ks[1] * Ks[1] + Ks[2] * Ks[2]
+            inv = 1.0 / jnp.where(ksq == 0, 1, ksq)
+            j, k = (c + 1) % 3, (c + 2) % 3
+            if re:
+                return -(Ks[j] * Wi[k] - Ks[k] * Wi[j]) * inv
+            return (Ks[j] * Wr[k] - Ks[k] * Wr[j]) * inv
+
+        def u_comp(Wr, Wi, kv, c):
+            ur = biot_savart_part(Wr, Wi, kv, c, True)
+            ur, Wr, Wi, *kv = lax.optimization_barrier((ur, Wr, Wi, *kv))
+            ui = biot_savart_part(Wr, Wi, kv, c, False)
+            return self._bwd_pk((ur, ui))
+
+        def w_comp(Wr, Wi, kv, c):
+            return self._bwd_pk((Wr[c], Wi[c]))
+
+        Wr, Wi = Sr, Si
+        kv = (k0, k1, k2)
+        for c in range(3):          # scaled viscous pieces, slice order
+            Ks = ks_of(kv)
+            ksq = Ks[0] * Ks[0] + Ks[1] * Ks[1] + Ks[2] * Ks[2]
+            carry = fold(slice(c, c + 1), (-self.nu * ksq * Wr[c])[None],
+                         (-self.nu * ksq * Wi[c])[None], carry)
+            Wr, Wi, *rest = lax.optimization_barrier(
+                (Wr, Wi) + tuple(kv) + tuple(carry))
+            kv, carry = rest[:3], tuple(rest[3:])
+        for m in range(3):          # streamed NL + immediate curl folds
+            j, k = (m + 1) % 3, (m + 2) % 3
+            t = u_comp(Wr, Wi, kv, j) * w_comp(Wr, Wi, kv, k)
+            t, Wr, Wi, *kv = lax.optimization_barrier((t, Wr, Wi, *kv))
+            t = t - u_comp(Wr, Wi, kv, k) * w_comp(Wr, Wi, kv, j)
+            t, Wr, Wi, *kv = lax.optimization_barrier((t, Wr, Wi, *kv))
+            fr, fi = self._fwd_pk(t)
+            m1, m2 = (m + 1) % 3, (m + 2) % 3
+            Ks = ks_of(kv)
+            carry = fold(slice(m1, m1 + 1), (-Ks[m2] * fi)[None],
+                         (Ks[m2] * fr)[None], carry, first=False)
+            fr, fi, Wr, Wi, *rest = lax.optimization_barrier(
+                (fr, fi, Wr, Wi) + tuple(kv) + tuple(carry))
+            kv, carry = rest[:3], tuple(rest[3:])
+            Ks = ks_of(kv)
+            carry = fold(slice(m2, m2 + 1), (Ks[m1] * fi)[None],
+                         (-Ks[m1] * fr)[None], carry, first=False)
+            Wr, Wi, *rest = lax.optimization_barrier(
+                (Wr, Wi) + tuple(kv) + tuple(carry))
+            kv, carry = rest[:3], tuple(rest[3:])
+        return carry
 
     # step_fn/_step_builder/ab2_state/step/run: inherited from SpectralSolver
 

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["zdif_ok", "zdif_active", "zdif_perm",
            "rfft_last_zdif", "irfft_last_zdif",
-           "zdif_fwd_slots", "zdif_bwd_slices"]
+           "zdif_fwd_slots", "zdif_bwd_slices",
+           "dif_interleave", "dif_deinterleave"]
 
 _M = 128          # per-block DFT size == MXU contraction sweet spot
 
@@ -101,6 +102,44 @@ def zdif_iperm(n: int):
     ip = np.empty_like(p)
     ip[p] = np.arange(len(p))
     return ip
+
+
+@lru_cache(maxsize=None)
+def _piece_offsets(n: int):
+    """Lane offset of residue b's contiguous 64-lane piece in the DIF
+    layout: slot p = min(b, r−b) holds [b=p | b=r−p] (slot 0: [0 | r/2]),
+    so piece(b) = 128·slot + 64·half.  The DIF order is therefore NOT an
+    arbitrary permutation — natural order is the stride-r interleave of r
+    contiguous pieces, which XLA lowers far better than a lane gather
+    (measured: the `take` unpermute ran at 46-61% of elementwise rate)."""
+    r = n // _M
+    off = {}
+    for p in range(r // 2):
+        bs = (0, r // 2) if p == 0 else (p, r - p)
+        for half, b in enumerate(bs):
+            off[b] = 128 * p + 64 * half
+    return tuple(off[b] for b in range(r))
+
+
+def dif_interleave(x, n: int):
+    """DIF-ordered lanes (…, h) -> natural k order, as r static 64-lane
+    slices + stack + reshape (equivalent to ``x[..., zdif_iperm(n)]``)."""
+    r, h = n // _M, n // 2
+    assert x.shape[-1] == h, (x.shape, n)
+    pieces = [x[..., o:o + _M // 2] for o in _piece_offsets(n)]
+    return jnp.stack(pieces, axis=-1).reshape(x.shape[:-1] + (h,))
+
+
+def dif_deinterleave(x, n: int):
+    """Natural k order (…, h) -> DIF lane order, as a (64, r) lane view +
+    r column slices re-concatenated in slot order (equivalent to
+    ``x[..., zdif_perm(n)]``)."""
+    r, h = n // _M, n // 2
+    assert x.shape[-1] == h, (x.shape, n)
+    v = x.reshape(x.shape[:-1] + (_M // 2, r))
+    off = _piece_offsets(n)
+    order = sorted(range(r), key=lambda b: off[b])
+    return jnp.concatenate([v[..., b] for b in order], axis=-1)
 
 
 def _wr(b: int, c: int, r: int, sign: int):

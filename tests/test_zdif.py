@@ -90,3 +90,21 @@ def test_multidim_batch(rng):
     scale = np.abs(refp).max()
     np.testing.assert_allclose(np.asarray(Zr), refp.real, atol=2e-6 * scale)
     np.testing.assert_allclose(np.asarray(xb), x, atol=2e-6 * np.abs(x).max())
+
+
+@pytest.mark.parametrize("n", [512, 768, 1024])
+def test_interleave_matches_take(rng, n):
+    """dif_interleave/deinterleave (slices + stack/concat + reshape — the
+    structured form of the zdif lane permutation, round 5) are bitwise equal
+    to the jnp.take gathers they replace."""
+    h = n // 2
+    x = jnp.asarray(rng.standard_normal((3, 5, h)).astype(np.float32))
+    ip, pm = z.zdif_iperm(n), z.zdif_perm(n)
+    assert np.array_equal(np.asarray(z.dif_interleave(x, n)),
+                          np.asarray(x)[..., ip])
+    assert np.array_equal(np.asarray(z.dif_deinterleave(x, n)),
+                          np.asarray(x)[..., pm])
+    # inverse pair
+    assert np.array_equal(
+        np.asarray(z.dif_deinterleave(z.dif_interleave(x, n), n)),
+        np.asarray(x))
