@@ -442,10 +442,15 @@ class SpectralSolver:
 
     def _rhs_fold_on(self) -> bool:
         """Streaming-fold integrator path: auto-engages for LSRK54/RK4 on
-        packed states whose pair exceeds ~2 GB (the regime where holding the
-        full RHS stack beside the accumulator breaks the 16 GB budget —
-        MHD/Bq at 512³, NS/VV at 768³).  MPIFFT4PY_TPU_RHS_FOLD=0/1
-        forces."""
+        packed states big enough that holding the full RHS stack beside the
+        integrator registers breaks the 16 GB budget.  The threshold is
+        integrator-aware (on-chip A/B, BENCH.md round 5): the fold's extra
+        accumulate passes cost ~12% per step (Bq 512³ LSRK54 1087.7 fold vs
+        955.9 stacked), so it must not engage where stacked fits —
+        LSRK54 (2N storage) folds above ~3 GB pairs (MHD 512³ = 3.22 GB
+        OOMs stacked; Bq = 2.15 GB fits), RK4 (4 registers) above ~2 GB
+        (Bq 512³ RK4 stacked has OOM'd since round 3).
+        MPIFFT4PY_TPU_RHS_FOLD=0/1 forces."""
         import os
         if self._fold_slices() is None:
             return False
@@ -457,7 +462,7 @@ class SpectralSolver:
         ncomp = max(sl.stop for sl in self._fold_slices())
         N = [int(n) for n in self.FFT.N]
         pair_bytes = 2 * ncomp * N[0] * N[1] * (N[2] // 2) * 4
-        return pair_bytes > 2e9
+        return pair_bytes > (3e9 if self.integrator == "LSRK54" else 2e9)
 
     def _advance_packed_fold(self, U, kargs):
         """LSRK54 / RK4 with the RHS folded piecewise into the accumulator.
