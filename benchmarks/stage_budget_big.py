@@ -57,6 +57,8 @@ def run(N, iters):
     rec("z zdif fwd+bwd", lambda v: zd.irfft_last_zdif(
         *zd.rfft_last_zdif(v), N), u)
     yr, yi = jax.jit(zd.rfft_last_zdif)(u)
+    yr.block_until_ready()
+    del u      # at 1024³ the real cube (4 GiB) + two live pairs OOM the chip
     pair_gb = 2 * N * N * h * 4 / 1e9
 
     def yrt(p):

@@ -80,10 +80,15 @@ def _cfft_kernel(xr_ref, xi_ref, cr_ref, ci_ref, or_ref, oi_ref):
     oi_ref[0] = t3 - t1 - t2
 
 
-def _fft_axis_pallas(xr, xi, n: int, sign: int, tq: int):
-    """(P, n, Q) f32 pair -> DFT along middle axis.  Grid: (P, Q/tq)."""
+def _fft_axis_pallas(xr, xi, n: int, sign: int, tq: int, scale: float = 1.0):
+    """(P, n, Q) f32 pair -> DFT along middle axis.  Grid: (P, Q/tq).
+    ``scale`` is folded into the DFT matrix (free vs a post-multiply's
+    extra HBM pass over the pair)."""
     Pdim, _, Q = xr.shape
     cr, ci = _dft_cs(n, sign)
+    if scale != 1.0:
+        cr = (cr.astype(np.float64) * scale).astype(np.float32)
+        ci = (ci.astype(np.float64) * scale).astype(np.float32)
     grid = (Pdim, Q // tq)
     bspec_x = pl.BlockSpec((1, n, tq), lambda p, q: (p, 0, q),
                            memory_space=pltpu.VMEM)
@@ -126,21 +131,20 @@ def fft_axis(x: jnp.ndarray, axis: int, inverse: bool = False) -> jnp.ndarray:
     xi = jnp.imag(x).astype(jnp.float32)
     sign = +1 if inverse else -1
 
+    scale = (1.0 / n) if inverse else 1.0
     if post == 1:
         # last axis: contract from the right instead — view (1, pre, n) and
         # transpose the roles: out[r, k] = Σ_j x[r, j] W[j, k]
         xr3 = xr.reshape(1, pre, n)
         xi3 = xi.reshape(1, pre, n)
-        yr, yi = _fft_last_pallas(xr3, xi3, n, sign)
+        yr, yi = _fft_last_pallas(xr3, xi3, n, sign, scale)
         out = lax.complex(yr, yi).reshape(x.shape)
     else:
         xr3 = xr.reshape(pre, n, post)
         xi3 = xi.reshape(pre, n, post)
         tq = _pick_tq(n, post)
-        yr, yi = _fft_axis_pallas(xr3, xi3, n, sign, tq)
+        yr, yi = _fft_axis_pallas(xr3, xi3, n, sign, tq, scale)
         out = lax.complex(yr, yi).reshape(x.shape)
-    if inverse:
-        out = out * np.complex64(1.0 / n)
     return out
 
 
@@ -158,9 +162,12 @@ def _cfft_last_kernel(xr_ref, xi_ref, cr_ref, ci_ref, or_ref, oi_ref):
     oi_ref[0] = t3 - t1 - t2
 
 
-def _fft_last_pallas(xr, xi, n: int, sign: int):
+def _fft_last_pallas(xr, xi, n: int, sign: int, scale: float = 1.0):
     _, R, _ = xr.shape
     cr, ci = _dft_cs(n, sign)
+    if scale != 1.0:
+        cr = (cr.astype(np.float64) * scale).astype(np.float32)
+        ci = (ci.astype(np.float64) * scale).astype(np.float32)
     tr = 256 if R % 256 == 0 else (128 if R % 128 == 0 else R)
     grid = (R // tr,)
     bspec_x = pl.BlockSpec((1, tr, n), lambda r: (0, r, 0), memory_space=pltpu.VMEM)

@@ -24,6 +24,7 @@ even n).  Callers fall back to ``jnp.fft`` outside this envelope.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -114,10 +115,17 @@ def supported_r2c(n: int) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _dft_cs(m: int, sign: int):
+def _dft_cs(m: int, sign: int, scale: float = 1.0):
+    """DFT_m matrix pair.  ``scale`` folds a normalisation into the matrix:
+    every output of the factored stage is linear in W (E_q = W @ x_q feeds
+    both combine modes), so scaling W scales the stage output for free —
+    the inverse stages' 1/n post-multiply was a full extra HBM pass over
+    the pair (~4/8 ms at 768³/1024³ per stage, stage-budget audit r5)."""
     jk = np.outer(np.arange(m), np.arange(m))
     ang = sign * 2.0 * np.pi * jk / m
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    c = np.cos(ang) * scale
+    s = np.sin(ang) * scale
+    return c.astype(np.float32), s.astype(np.float32)
 
 
 @lru_cache(maxsize=None)
@@ -261,6 +269,9 @@ def _pick_tq(n: int, q: int, r: int, m: int) -> int:
     accounting existed (r=4 scratch unbudgeted).  12 MB budget: lets n=256
     take tq=256 (measured 3% faster than 128; 10.5 MB estimated residency,
     verified on-chip) while 512/1024 stay at 128."""
+    env = os.environ.get("MPIFFT4PY_TPU_TQ")
+    if env and q % int(env) == 0:
+        return int(env)
     budget = 12 * 1024 * 1024
     per_tq = (16 * n + 2 * r * m + 4 * m) * 4
     tq = 128
@@ -285,7 +296,7 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     x3r = xr.reshape(pre, n, post)
     x3i = xi.reshape(pre, n, post)
     tq = _pick_tq(n, post, r, m)
-    wr, wi = _dft_cs(m, sign)
+    wr, wi = _dft_cs(m, sign, scale=(1.0 / n) if inverse else 1.0)
     cr, ci = _combine_cs(n, r, m, sign)
     grid = (pre, post // tq)
     bspec_x = pl.BlockSpec((1, n, tq), lambda p, q: (p, 0, q),
@@ -306,9 +317,6 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     )
     yr, yi = fn(x3r, x3i, jnp.asarray(wr), jnp.asarray(wi),
                 jnp.asarray(cr), jnp.asarray(ci))
-    if inverse:
-        s = np.float32(1.0 / n)
-        yr, yi = yr * s, yi * s
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
 
@@ -483,10 +491,12 @@ def _cfft_last_planar_kernel(xr_ref, xi_ref, wr_ref, wi_ref, or_ref, oi_ref):
 
 
 @lru_cache(maxsize=None)
-def _dense_cs(n: int, sign: int):
+def _dense_cs(n: int, sign: int, scale: float = 1.0):
     jk = np.outer(np.arange(n), np.arange(n))
     ang = sign * 2.0 * np.pi * jk / n
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    c = np.cos(ang) * scale
+    s = np.sin(ang) * scale
+    return c.astype(np.float32), s.astype(np.float32)
 
 
 def fft_last_planar_c2c(xr, xi, inverse: bool = False):
@@ -494,7 +504,7 @@ def fft_last_planar_c2c(xr, xi, inverse: bool = False):
     n = xr.shape[-1]
     sign = +1 if inverse else -1
     R = int(np.prod(xr.shape[:-1], dtype=np.int64))
-    wr, wi = _dense_cs(n, sign)
+    wr, wi = _dense_cs(n, sign, scale=(1.0 / n) if inverse else 1.0)
     tr = _pick_tr(R, n, n)
     fn = pl.pallas_call(
         _cfft_last_planar_kernel,
@@ -514,9 +524,6 @@ def fft_last_planar_c2c(xr, xi, inverse: bool = False):
     )
     yr, yi = fn(xr.reshape(1, R, n), xi.reshape(1, R, n),
                 jnp.asarray(wr), jnp.asarray(wi))
-    if inverse:
-        s = np.float32(1.0 / n)
-        yr, yi = yr * s, yi * s
     return yr.reshape(xr.shape), yi.reshape(xr.shape)
 
 
