@@ -296,6 +296,16 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     x3r = xr.reshape(pre, n, post)
     x3i = xi.reshape(pre, n, post)
     tq = _pick_tq(n, post, r, m)
+    if pre == 1 and not os.environ.get("MPIFFT4PY_TPU_TQ"):
+        # axis-0 stage: blocks walk n strided rows of tq·4 bytes at the
+        # N1·h·4 row pitch; wider tiles amortise the per-row DRAM cost.
+        # On-chip sweep (xstage_tq_onchip.py, post-scale-fold): −6/−9/−10%
+        # at 768/512/1024; n·tq ≤ 294912 (= 768·384) is the measured
+        # Mosaic scoped-VMEM compile boundary (768·512 and 1024·512 fail).
+        for cand in (512, 384, 256):
+            if n >= 512 and post % cand == 0 and n * cand <= 294912:
+                tq = max(tq, cand)
+                break
     wr, wi = _dft_cs(m, sign, scale=(1.0 / n) if inverse else 1.0)
     cr, ci = _combine_cs(n, r, m, sign)
     grid = (pre, post // tq)
