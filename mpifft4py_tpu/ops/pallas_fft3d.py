@@ -1145,13 +1145,14 @@ def purify_plane0(yr, yi):
 
 def _api_zdif(n2: int) -> bool:
     """Whether the COMPLEX API boundary rides the DIF z-stage: zdif kernels
-    + a lane gather back to natural k2 order folded into the boundary.
-    On-chip A/B (BENCH.md round 4): XLA fuses the gathers into the boundary
-    concat well enough that the net is the zdif saving minus ~the gather's
-    bandwidth share — a WASH at 512³ (31.85 vs 31.74 ms), a 4% loss at 768³
-    (the r=6 zdif win is smallest and the gather runs at 46% efficiency),
-    and an 8% WIN at 1024³ (304.87 vs 330.21 ms API roundtrip).  Default
-    auto = 1024-class (r = 8) only; MPIFFT4PY_TPU_API_ZDIF=0/1 forces."""
+    + a lane unpermute back to natural k2 order folded into the boundary.
+    On-chip A/Bs (BENCH.md rounds 4–5): the unpermute implementation is
+    radix-dependent (see _api_unperm) — with the structured interleave at
+    r=6 the composed boundary penalty is +10.6 ms at 768³ vs the ~28 ms
+    dense-z saving, so 768 flips to a net WIN; 1024 (take-based) was
+    already +8%; 512³ stays a wash (saving ~4 ms vs ~5 ms composed
+    permutation).  Default auto = r ∈ {6, 8} (768/1024-class);
+    MPIFFT4PY_TPU_API_ZDIF=0/1 forces."""
     import os
     from .pallas_zdif import zdif_active
     env = os.environ.get("MPIFFT4PY_TPU_API_ZDIF", "auto")
@@ -1159,7 +1160,29 @@ def _api_zdif(n2: int) -> bool:
         return False
     if not zdif_active(n2):
         return False
-    return env == "1" or n2 // 128 >= 8
+    return env == "1" or n2 // 128 >= 6
+
+
+def _api_unperm(yr, yi, n2: int):
+    """DIF lane order -> natural, by the measured-fastest implementation:
+    r=6: dif_interleave (static 64-lane slices + stack — composes into the
+    boundary concat at half the gather's marginal cost: +10.6 vs +21.1 ms
+    at 768³); r=8: jnp.take (the 8-piece stack+reshape lowers WORSE than
+    the gather at 1024³: 110.6 vs 88.0 composed)."""
+    from .pallas_zdif import dif_interleave, zdif_iperm
+    if n2 // 128 == 6:
+        return dif_interleave(yr, n2), dif_interleave(yi, n2)
+    ip = zdif_iperm(n2)
+    return jnp.take(yr, ip, axis=-1), jnp.take(yi, ip, axis=-1)
+
+
+def _api_perm(br, bi, n2: int):
+    """Natural -> DIF lane order (inverse boundary), mirror of _api_unperm."""
+    from .pallas_zdif import dif_deinterleave, zdif_perm
+    if n2 // 128 == 6:
+        return dif_deinterleave(br, n2), dif_deinterleave(bi, n2)
+    pm = zdif_perm(n2)
+    return jnp.take(br, pm, axis=-1), jnp.take(bi, pm, axis=-1)
 
 
 def rfft3d(u) -> jnp.ndarray:
@@ -1168,10 +1191,9 @@ def rfft3d(u) -> jnp.ndarray:
     nf = u.shape[-1] // 2 + 1
     if _use_packed(u.shape[-1]):
         if _api_zdif(u.shape[-1]):
-            from .pallas_zdif import zdif_iperm
             yr, yi = rfft3d_packed(u, dif=True)
-            ip = zdif_iperm(u.shape[-1])     # ip[0] == 0: rider stays lane 0
-            return unpack_spectrum(yr[..., ip], yi[..., ip])
+            yr, yi = _api_unperm(yr, yi, u.shape[-1])  # rider stays lane 0
+            return unpack_spectrum(yr, yi)
         return unpack_spectrum(*rfft3d_packed(u))
     yr, yi = rfft3d_planar(u)
     return lax.complex(yr, yi)[..., :nf]
@@ -1183,10 +1205,9 @@ def irfft3d(fu, s) -> jnp.ndarray:
     nf = s[-1] // 2 + 1
     if _use_packed(s[-1]) and fu.shape[-1] == nf:
         if _api_zdif(s[-1]):
-            from .pallas_zdif import zdif_perm
             br, bi = pack_spectrum(fu)
-            pm = zdif_perm(s[-1])
-            return irfft3d_packed(br[..., pm], bi[..., pm], s, dif=True)
+            br, bi = _api_perm(br, bi, s[-1])
+            return irfft3d_packed(br, bi, s, dif=True)
         br, bi = pack_spectrum(fu)
         return irfft3d_packed(br, bi, s)
     nfp = _round_up(nf, 128)

@@ -108,3 +108,20 @@ def test_interleave_matches_take(rng, n):
     assert np.array_equal(
         np.asarray(z.dif_deinterleave(z.dif_interleave(x, n), n)),
         np.asarray(x))
+
+
+@pytest.mark.parametrize("n2", [768, 1024])
+def test_api_boundary_unperm_vs_numpy(rng, n2, monkeypatch):
+    """rfft3d/irfft3d with the API-zdif boundary (radix-dependent unpermute:
+    dif_interleave at r=6, take at r=8) against numpy, small leading axes."""
+    from mpifft4py_tpu.ops import pallas_fft3d as p3
+    monkeypatch.setenv("MPIFFT4PY_TPU_API_ZDIF", "1")
+    assert p3._api_zdif(n2)
+    x = rng.standard_normal((8, 8, n2)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        fu = np.asarray(p3.rfft3d(jnp.asarray(x)))
+        back = np.asarray(p3.irfft3d(jnp.asarray(fu), (8, 8, n2)))
+    ref = np.fft.rfftn(x.astype(np.float64))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(fu, ref, atol=4e-6 * scale)
+    np.testing.assert_allclose(back, x, atol=4e-5)
