@@ -57,7 +57,8 @@ def main():
     )
 
     def chain_pallas(L):
-        def f(a, b):
+        def f(p):
+            a, b = p
             for _ in range(L):
                 a, b = ident(a, b)
             return a, b
@@ -74,10 +75,10 @@ def main():
 
     rows = {}
     for name, mk, args in (("pallas_ident", chain_pallas, (xr, xi)),
-                           ("xla_rfft_pair", chain_fft, (u,))):
+                           ("xla_rfft_pair", chain_fft, u)):
         ts = {}
         for L in (1, 8, 32):
-            ms = measure(mk(L), *args, iters=20) * 1e3
+            ms = measure(mk(L), args, iters=20) * 1e3
             ts[L] = ms
             print(json.dumps({"op": name, "L": L, "ms": round(ms, 3)}),
                   flush=True)

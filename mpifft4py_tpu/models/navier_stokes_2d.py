@@ -68,6 +68,7 @@ class NavierStokes2D:
         self._bwd_nl = FFT.backward_fn(dealias) if dealias == "3/2-rule" else self._bwd
         self._step = None
         self._run = None
+        self._ens = None
         if spectral_layout == "packed":
             self._init_packed()
 
@@ -254,8 +255,13 @@ class NavierStokes2D:
     def enstrophy(self, w_hat) -> float:
         from .navier_stokes import SpectralSolver
 
-        def ens(W):
-            w = (self._bwd_pk(*W) if self.spectral_layout == "packed"
-                 else self._bwd(W))
-            return 0.5 * SpectralSolver.staged_mean(w * w)
-        return float(jax.jit(ens)(w_hat))
+        if self._ens is None:
+            # cached plan: a fresh jax.jit(closure) per call RETRACES the
+            # pallas chain every time — measured as a phantom 450 ms/step
+            # when a benchmark syncs on enstrophy (round 5)
+            def ens(W):
+                w = (self._bwd_pk(*W) if self.spectral_layout == "packed"
+                     else self._bwd(W))
+                return 0.5 * SpectralSolver.staged_mean(w * w)
+            self._ens = jax.jit(ens)
+        return float(self._ens(w_hat))

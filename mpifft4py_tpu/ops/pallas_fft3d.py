@@ -302,8 +302,13 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
         # On-chip sweep (xstage_tq_onchip.py, post-scale-fold): −6/−9/−10%
         # at 768/512/1024; n·tq ≤ 294912 (= 768·384) is the measured
         # Mosaic scoped-VMEM compile boundary (768·512 and 1024·512 fail).
+        # post >= 65536 restricts widening to the 3D axis-0 regime the sweep
+        # measured (post = N1·h); small-post 2D shapes hit a scoped-VMEM
+        # compile boundary 128K over the limit at (n=1024, post=512, tq=256)
+        # that the huge-grid 3D programs don't.
         for cand in (512, 384, 256):
-            if n >= 512 and post % cand == 0 and n * cand <= 294912:
+            if (n >= 512 and post >= 65536 and post % cand == 0
+                    and n * cand <= 294912):
                 tq = max(tq, cand)
                 break
     wr, wi = _dft_cs(m, sign, scale=(1.0 / n) if inverse else 1.0)
