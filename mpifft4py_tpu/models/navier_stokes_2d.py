@@ -55,8 +55,9 @@ class NavierStokes2D:
                 raise ValueError(
                     "packed 2D layout needs P == 1, dealias='2/3-rule', "
                     "(N1/2) % 128 == 0 and N0 = r·m with r <= 8, m <= 128 "
-                    "(the planar-stage factorisation gate: N0 <= 1024 for "
-                    "powers of two)")
+                    "(the planar-stage gate: N0 <= 1024 for powers of two — "
+                    "2048-class needs a two-pass x-stage, measured 24.5-40 MB "
+                    "scoped VMEM single-pass, BENCH.md round 5)")
         self.spectral_layout = spectral_layout
         K = FFT.get_scaled_local_wavenumbermesh()      # (2, N0, Nfp)
         K2 = jnp.sum(K * K, axis=0)

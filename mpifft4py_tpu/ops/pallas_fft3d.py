@@ -289,7 +289,14 @@ def fft_axis_planar(xr, xi, axis: int, inverse: bool = False):
     assert axis != xr.ndim - 1, "last axis: use the r2c/c2r kernels or transpose"
     n = xr.shape[axis]
     r, m = _factor(n, tuned=True)
-    assert r <= 8 and m >= 8, (n, r, m)
+    # r = 16 parses and is interpret-correct, but the 2048-class single
+    # pass does NOT fit scoped VMEM on hardware: (2048, 1024) pairs
+    # measured 40.1 MB scoped at r=16/m=128 and 24.5 MB at r=8/m=256
+    # (MPIFFT4PY_TPU_FACTOR=2048:8) vs the 16 MB limit — the unrolled
+    # butterfly holds all block temporaries at once (BENCH.md round 5).
+    # A 2048-point axis therefore needs a two-pass cascade (not built);
+    # consumers gate on r <= 8 for hardware.
+    assert r <= 16 and m >= 8, (n, r, m)
     sign = +1 if inverse else -1
     pre = int(np.prod(xr.shape[:axis], dtype=np.int64)) if axis else 1
     post = int(np.prod(xr.shape[axis + 1:], dtype=np.int64))
